@@ -1,0 +1,12 @@
+"""Test configuration: force an 8-device CPU JAX platform so mesh/sharding
+tests run without TPU hardware (SURVEY.md §4.4)."""
+
+import os
+
+# Must be set before jax is imported anywhere.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
