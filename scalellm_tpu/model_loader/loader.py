@@ -1,0 +1,185 @@
+"""HuggingFace model-folder loader.
+
+TPU-native equivalent of the reference's HFModelLoader + StateDict
+(reference: src/model_loader/model_loader.h:63,83, model_loader.cpp:63-81,
+state_dict.h:12). Reads config.json through the registry's per-model args
+loader, detects quantization config, and streams *.safetensors files one at
+a time (bounding host memory like the reference's lazy StateDictIterator,
+model_loader.h:17-61) into the model's stacked param pytree.
+
+Weight-name mapping comes from the model's `hf_weight_rules`:
+(regex, our_path, transpose). Per-layer tensors are written into
+preallocated stacked buffers at their layer index. Every expected param must
+be fully written — verified at the end (parity with verify_loaded_weights,
+reference: causal_lm.h:76-82).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from scalellm_tpu.config import ModelArgs, QuantArgs, TokenizerArgs
+from scalellm_tpu.models.registry import ModelRegistry
+
+
+class HFModelLoader:
+    def __init__(self, model_path: str):
+        assert os.path.isdir(model_path), f"not a model folder: {model_path}"
+        self.model_path = model_path
+        cfg_path = os.path.join(model_path, "config.json")
+        with open(cfg_path) as f:
+            self.hf_config: Dict[str, Any] = json.load(f)
+        self.model_type = self.hf_config.get("model_type", "")
+
+        loader = ModelRegistry.get_model_args_loader(self.model_type)
+        if loader is None:
+            raise ValueError(
+                f"unsupported model type {self.model_type!r}; supported: "
+                f"{ModelRegistry.supported_model_types()}"
+            )
+        self.model_args: ModelArgs = loader(self.hf_config)
+
+        # Quantization config: inline (HF style) or sidecar file
+        # (reference: model_loader.cpp quant(ize)_config.json detection).
+        qcfg = dict(self.hf_config)
+        for name in ("quantize_config.json", "quant_config.json"):
+            p = os.path.join(model_path, name)
+            if os.path.exists(p) and "quantization_config" not in qcfg:
+                with open(p) as f:
+                    qcfg["quantization_config"] = json.load(f)
+                break
+        self.quant_args = QuantArgs.from_hf_config(qcfg)
+
+        self.tokenizer_args = self._load_tokenizer_args()
+
+        # Weight files: prefer safetensors (reference: model_loader.cpp:63-81).
+        self.weight_files = sorted(
+            os.path.join(model_path, f)
+            for f in os.listdir(model_path)
+            if f.endswith(".safetensors")
+        )
+
+    def _load_tokenizer_args(self) -> TokenizerArgs:
+        args = TokenizerArgs()
+        tc_path = os.path.join(self.model_path, "tokenizer_config.json")
+        if os.path.exists(tc_path):
+            with open(tc_path) as f:
+                tc = json.load(f)
+            args.chat_template = tc.get("chat_template")
+        return args
+
+    # ---------------------------------------------------------------- params
+
+    def load_params(
+        self,
+        model,
+        verify: bool = True,
+    ) -> Dict[str, Any]:
+        """Load weights into the model's stacked param layout (numpy pytree;
+        device placement is the executor's job)."""
+        args = self.model_args
+        rules: List[Tuple[str, str, bool]] = model.hf_weight_rules
+        compiled = [(re.compile(rx + r"$"), path, transpose) for rx, path, transpose in rules]
+
+        shapes = model.param_shapes()
+        import ml_dtypes
+
+        np_dtype = {
+            "bfloat16": ml_dtypes.bfloat16,
+            "float16": np.float16,
+            "float32": np.float32,
+        }[args.dtype]
+
+        bufs: Dict[str, np.ndarray] = {}
+        filled: Dict[str, np.ndarray] = {}  # path -> bool mask over layer dim
+
+        def ensure_buf(path: str):
+            if path in bufs:
+                return
+            node = shapes
+            for part in path.split("."):
+                node = node[part]
+            bufs[path] = np.zeros(node, dtype=np_dtype)
+            n_layers = node[0] if path.startswith("layers.") else 1
+            filled[path] = np.zeros(n_layers, dtype=bool)
+
+        kv_rep = getattr(model, "kv_replication", 1)
+        kv_paths = {"layers.k_proj", "layers.v_proj", "layers.k_bias", "layers.v_bias"}
+
+        from safetensors import safe_open
+
+        for wf in self.weight_files:
+            with safe_open(wf, framework="numpy") as f:
+                for name in f.keys():
+                    hit = None
+                    for rx, path, transpose in compiled:
+                        m = rx.match(name)
+                        if m:
+                            hit = (m, path, transpose)
+                            break
+                    if hit is None:
+                        continue
+                    m, path, transpose = hit
+                    if path == "lm_head" and args.tie_word_embeddings:
+                        continue
+                    tensor = f.get_tensor(name)
+                    if transpose:
+                        tensor = tensor.T
+                    if path in kv_paths and kv_rep > 1:
+                        tensor = self._replicate_kv_heads(tensor, kv_rep, args.head_dim)
+                    ensure_buf(path)
+                    if path.startswith("layers."):
+                        layer = int(m.group(1))
+                        bufs[path][layer] = tensor.astype(np_dtype, copy=False)
+                        filled[path][layer] = True
+                    else:
+                        bufs[path][...] = tensor.astype(np_dtype, copy=False)
+                        filled[path][0] = True
+
+        if verify:
+            expected = _leaf_paths(shapes)
+            missing = [
+                p
+                for p in expected
+                if p not in filled or not filled[p].all()
+            ]
+            if missing:
+                raise ValueError(f"weights not fully loaded for: {missing}")
+
+        # Rebuild the nested pytree.
+        params: Dict[str, Any] = {}
+        for path, arr in bufs.items():
+            node = params
+            parts = path.split(".")
+            for part in parts[:-1]:
+                node = node.setdefault(part, {})
+            node[parts[-1]] = arr
+        return params
+
+    @staticmethod
+    def _replicate_kv_heads(tensor: np.ndarray, rep: int, head_dim: int) -> np.ndarray:
+        """Repeat each kv head `rep` times along the head dim so contiguous
+        tp slices each get a full copy (reference: qkv_parallel_linear.h:17)."""
+        if tensor.ndim == 1:  # bias [Hkv*Dh]
+            heads = tensor.reshape(-1, head_dim)
+            return np.repeat(heads, rep, axis=0).reshape(-1)
+        # weight [D, Hkv*Dh]
+        d = tensor.shape[0]
+        heads = tensor.reshape(d, -1, head_dim)
+        return np.repeat(heads, rep, axis=1).reshape(d, -1)
+
+
+def _leaf_paths(shapes: Dict[str, Any], prefix: str = "") -> List[str]:
+    out = []
+    for k, v in shapes.items():
+        p = f"{prefix}{k}"
+        if isinstance(v, dict):
+            out.extend(_leaf_paths(v, p + "."))
+        else:
+            out.append(p)
+    return out

@@ -1,0 +1,36 @@
+"""Synthetic tiny-model checkpoints for tests (no network access —
+replaces the reference tests' HF-hub downloads of gpt2/llama-68m,
+reference: tests/llm_test.py:9)."""
+
+import os
+
+TINY_LLAMA_KW = dict(
+    vocab_size=256,
+    hidden_size=64,
+    intermediate_size=128,
+    num_hidden_layers=2,
+    num_attention_heads=4,
+    num_key_value_heads=2,
+    max_position_embeddings=512,
+    rms_norm_eps=1e-5,
+    rope_theta=10000.0,
+    tie_word_embeddings=False,
+)
+
+
+def make_tiny_llama(dirpath: str, seed: int = 0, **overrides) -> str:
+    """Create a small random-weight HF llama checkpoint (float32)."""
+    if os.path.exists(os.path.join(dirpath, "config.json")):
+        return dirpath
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    torch.manual_seed(seed)
+    kw = dict(TINY_LLAMA_KW)
+    kw.update(overrides)
+    cfg = LlamaConfig(**kw)
+    model = LlamaForCausalLM(cfg)
+    model = model.to(torch.float32)
+    os.makedirs(dirpath, exist_ok=True)
+    model.save_pretrained(dirpath, safe_serialization=True)
+    return dirpath
