@@ -1,0 +1,176 @@
+"""Benchmark driver entry: prints ONE JSON line with the headline metric.
+
+Round-1 headline: decode tokens/s on a TinyLlama-1.1B-shaped bf16 model,
+batch=1 (BASELINE.json configs[0]). Weights are random-initialized (no
+network egress); decode runs as a device-side lax.scan autoregressive loop
+(sampled token feeds back as the next input) so host↔device round-trips
+don't pollute the measurement.
+
+vs_baseline compares against the HBM-bandwidth roofline for batch-1 decode:
+every step must stream all weights from HBM once, so
+  roofline tokens/s = HBM_BW / param_bytes.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def build_model(preset: str):
+    from scalellm_tpu.config import ModelArgs
+    from scalellm_tpu.models.common import DecoderModel
+    from scalellm_tpu.parallel.config import ParallelConfig
+
+    if preset == "tinyllama-1.1b":
+        args = ModelArgs(
+            model_type="llama",
+            dtype="bfloat16",
+            hidden_size=2048,
+            intermediate_size=5632,
+            n_layers=22,
+            n_heads=32,
+            n_kv_heads=4,
+            vocab_size=32000,
+            max_position_embeddings=2048,
+        )
+    elif preset == "tiny":  # CPU smoke test
+        args = ModelArgs(
+            model_type="llama",
+            dtype="float32",
+            hidden_size=128,
+            intermediate_size=256,
+            n_layers=2,
+            n_heads=4,
+            n_kv_heads=2,
+            vocab_size=256,
+            max_position_embeddings=512,
+        )
+    else:
+        raise ValueError(preset)
+    return DecoderModel(args, ParallelConfig())
+
+
+def param_bytes(model) -> int:
+    import numpy as np
+
+    total = 0
+    leaves = []
+
+    def walk(node):
+        for v in node.values():
+            if isinstance(v, dict):
+                walk(v)
+            else:
+                leaves.append(v)
+
+    walk(model.param_shapes())
+    itemsize = 2 if model.args.dtype in ("bfloat16", "float16") else 4
+    for s in leaves:
+        total += int(np.prod(s)) * itemsize
+    return total
+
+
+def run_decode_bench(preset: str, batch: int, steps: int, page_size: int = 16):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from scalellm_tpu.engine.params import ModelInputs
+
+    model = build_model(preset)
+    a = model.args
+    key = jax.random.PRNGKey(0)
+    params = model.init_params(key)
+
+    # One sequence per batch lane, each with a 128-token prefilled context.
+    ctx = 128
+    pages_per_seq = (ctx + 1 + steps + page_size - 1) // page_size + 1
+    num_pages = 1 + batch * pages_per_seq  # page 0 reserved
+    shape = model.kv_cache_shape(num_pages, page_size)
+    dtype = jnp.bfloat16 if a.dtype == "bfloat16" else jnp.float32
+    kv_cache = jnp.zeros(shape, dtype)
+
+    block_tables = np.zeros((batch, pages_per_seq), np.int32)
+    for s in range(batch):
+        block_tables[s] = 1 + s * pages_per_seq + np.arange(pages_per_seq)
+    block_tables = jnp.asarray(block_tables)
+    base_slot = jnp.asarray(
+        [(1 + s * pages_per_seq) * page_size for s in range(batch)], jnp.int32
+    )
+
+    def decode_steps(params, kv_cache, tokens0):
+        """Autoregressive device loop: each iteration decodes one token per
+        sequence through the paged KV cache and feeds it back."""
+
+        def step(carry, i):
+            kv_cache, tokens = carry
+            pos = ctx + i
+            mi = ModelInputs(
+                token_ids=tokens,
+                positions=jnp.full((batch,), pos, jnp.int32),
+                token_seg=jnp.arange(batch, dtype=jnp.int32),
+                new_kv_slot_ids=base_slot + pos,
+                block_tables=block_tables,
+                kv_lens=jnp.full((batch,), pos + 1, jnp.int32),
+                cu_q_lens=jnp.arange(batch + 1, dtype=jnp.int32),
+                num_seqs=jnp.asarray([batch], jnp.int32),
+                selected_idxes=jnp.arange(batch, dtype=jnp.int32),
+                seq_mask=jnp.ones((batch,), jnp.float32),
+            )
+            hidden, kv_cache = model.forward(params, kv_cache, mi)
+            logits = model.logits(params, hidden)
+            next_tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return (kv_cache, next_tokens), next_tokens
+
+        (kv_cache, _), out = jax.lax.scan(
+            step, (kv_cache, tokens0), jnp.arange(steps)
+        )
+        return out, kv_cache
+
+    fn = jax.jit(decode_steps, donate_argnums=(1,))
+    tokens0 = jnp.zeros((batch,), jnp.int32)
+
+    # Warmup / compile.
+    out, kv_cache = fn(params, kv_cache, tokens0)
+    jax.block_until_ready(out)
+
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out, kv_cache = fn(params, kv_cache, tokens0)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    total_tokens = reps * steps * batch
+    toks_per_s = total_tokens / dt
+    return toks_per_s, model
+
+
+def main():
+    import jax
+
+    platform = jax.devices()[0].platform
+    on_tpu = platform == "tpu"
+    preset = "tinyllama-1.1b" if on_tpu else "tiny"
+    batch = 1
+    steps = 64 if on_tpu else 8
+
+    toks_per_s, model = run_decode_bench(preset, batch, steps)
+
+    pbytes = param_bytes(model)
+    # v5e HBM bandwidth ~819 GB/s; CPU number is meaningless but nonzero.
+    hbm_bw = 819e9 if on_tpu else 50e9
+    roofline = hbm_bw / pbytes
+    result = {
+        "metric": f"decode_tokens_per_s_{preset}_b{batch}",
+        "value": round(toks_per_s, 2),
+        "unit": "tokens/s",
+        "vs_baseline": round(toks_per_s / roofline, 4),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,237 @@
+"""Batch — converts scheduled Sequences + token budgets into padded,
+static-shape model inputs, and writes sampled tokens back.
+
+TPU-native equivalent of the reference's Batch
+(reference: src/engine/batch.{h,cpp}: prepare_model_input at batch.cpp:77,
+process_sample_output at :272, CUDA-graph padding at :220-240). On TPU the
+padding is stricter: XLA compiles one program per (T, S, MAXP) bucket, so all
+arrays are padded up to bucket shapes (the analog of CUDA-graph buckets,
+reference: llm_engine.cpp:23).
+
+Padding conventions (see engine/params.py):
+  - token slots beyond the real tokens: ids/positions/seg 0, kv slot 0
+    (page 0 is the reserved padding block, block_manager.cpp:40-42)
+  - sequence slots beyond real sequences: kv_len 0, block table all-0,
+    selected idx 0, seq_mask 0
+"""
+
+from __future__ import annotations
+
+import bisect
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence as Seq, Tuple
+
+import numpy as np
+
+from scalellm_tpu.engine.params import ModelInputs, SamplingInputs
+from scalellm_tpu.request.output import LogProb, LogProbData
+from scalellm_tpu.request.sequence import Sequence
+
+# Bucket ladders. Token buckets are the analog of the reference's CUDA-graph
+# batch-size buckets {1,2,4,8,16,24,32,48,64} (llm_engine.cpp:23), sized for
+# token counts since prefill and decode share one program here.
+TOKEN_BUCKETS = [16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384]
+SEQ_BUCKETS = [1, 2, 4, 8, 16, 32, 64, 128, 256]
+PAGE_BUCKETS = [4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048]
+
+
+def pick_bucket(ladder: Seq[int], n: int) -> int:
+    i = bisect.bisect_left(ladder, n)
+    if i == len(ladder):
+        raise ValueError(f"{n} exceeds largest bucket {ladder[-1]}")
+    return ladder[i]
+
+
+@dataclass
+class BatchEntry:
+    seq: Sequence
+    # Number of new tokens to process for this sequence this step
+    # (chunked prefill: may be < uncached tokens).
+    num_tokens: int
+    # Whether this step produces a sampled token for the sequence
+    # (false for a prefill chunk that doesn't reach the end).
+    needs_sample: bool
+
+
+@dataclass
+class Batch:
+    """One scheduler step's worth of sequences."""
+
+    entries: List[BatchEntry] = field(default_factory=list)
+
+    def add(self, seq: Sequence, num_tokens: int) -> None:
+        cached = seq.num_kv_cache_tokens()
+        assert num_tokens > 0
+        assert cached + num_tokens <= seq.num_tokens
+        self.entries.append(
+            BatchEntry(
+                seq=seq,
+                num_tokens=num_tokens,
+                needs_sample=(cached + num_tokens == seq.num_tokens),
+            )
+        )
+
+    def __len__(self) -> int:
+        return len(self.entries)
+
+    @property
+    def num_tokens(self) -> int:
+        return sum(e.num_tokens for e in self.entries)
+
+    # ------------------------------------------------------------- inputs
+
+    def prepare_model_inputs(
+        self,
+        block_size: int,
+        step_counter: int = 0,
+    ) -> Tuple[ModelInputs, SamplingInputs, np.ndarray]:
+        """Flatten the batch into padded arrays (reference: batch.cpp:77).
+
+        Returns (model_inputs, sampling_inputs, needs_sample_mask[S] bool).
+        Arrays are numpy; the executor device_puts them.
+        """
+        S_real = len(self.entries)
+        T_real = self.num_tokens
+        T = pick_bucket(TOKEN_BUCKETS, max(T_real, 1))
+        S = pick_bucket(SEQ_BUCKETS, max(S_real, 1))
+        max_pages_real = max(
+            (len(e.seq.blocks) for e in self.entries), default=1
+        )
+        MAXP = pick_bucket(PAGE_BUCKETS, max(max_pages_real, 1))
+
+        token_ids = np.zeros(T, dtype=np.int32)
+        positions = np.zeros(T, dtype=np.int32)
+        token_seg = np.zeros(T, dtype=np.int32)
+        new_kv_slot_ids = np.zeros(T, dtype=np.int32)
+        block_tables = np.zeros((S, MAXP), dtype=np.int32)
+        kv_lens = np.zeros(S, dtype=np.int32)
+        cu_q_lens = np.zeros(S + 1, dtype=np.int32)
+        selected_idxes = np.zeros(S, dtype=np.int32)
+        seq_mask = np.zeros(S, dtype=np.float32)
+        needs_sample = np.zeros(S, dtype=bool)
+
+        # Sampling params per sequence.
+        temperatures = np.zeros(S, dtype=np.float32)
+        top_ks = np.zeros(S, dtype=np.int32)
+        top_ps = np.ones(S, dtype=np.float32)
+        freq_p = np.zeros(S, dtype=np.float32)
+        pres_p = np.zeros(S, dtype=np.float32)
+        rep_p = np.ones(S, dtype=np.float32)
+        seeds = np.zeros(S, dtype=np.uint32)
+
+        # Unique-token histograms (reference: batch.cpp:144-195). Only built
+        # when some sequence actually uses a penalty.
+        use_penalties = any(
+            e.seq.sampling_params.frequency_penalty != 0.0
+            or e.seq.sampling_params.presence_penalty != 0.0
+            or e.seq.sampling_params.repetition_penalty != 1.0
+            for e in self.entries
+        )
+        U = 0
+        if use_penalties:
+            U = max(len(e.seq.token_counts) for e in self.entries)
+            U = max(8, 1 << (U - 1).bit_length())  # pad to pow2 bucket
+        unique_ids = np.zeros((S, max(U, 1)), dtype=np.int32)
+        unique_counts = np.zeros((S, max(U, 1)), dtype=np.int32)
+
+        t = 0
+        for s, e in enumerate(self.entries):
+            seq = e.seq
+            start = seq.num_kv_cache_tokens()
+            end = start + e.num_tokens
+            ids = seq.token_ids[start:end]
+            token_ids[t : t + e.num_tokens] = ids
+            positions[t : t + e.num_tokens] = np.arange(start, end)
+            token_seg[t : t + e.num_tokens] = s
+            new_kv_slot_ids[t : t + e.num_tokens] = seq.kv_cache_slots(start, end)
+
+            bids = seq.block_ids()
+            block_tables[s, : len(bids)] = bids
+            kv_lens[s] = end
+            cu_q_lens[s + 1] = t + e.num_tokens
+            selected_idxes[s] = t + e.num_tokens - 1
+            seq_mask[s] = 1.0
+            needs_sample[s] = e.needs_sample
+
+            sp = seq.sampling_params
+            temperatures[s] = sp.temperature
+            top_ks[s] = sp.top_k if sp.top_k > 0 else 0
+            top_ps[s] = sp.top_p
+            freq_p[s] = sp.frequency_penalty
+            pres_p[s] = sp.presence_penalty
+            rep_p[s] = sp.repetition_penalty
+            base_seed = sp.seed if sp.seed is not None else seq.seq_id
+            seeds[s] = np.uint32((base_seed * 1000003 + step_counter) & 0xFFFFFFFF)
+
+            if use_penalties:
+                items = list(seq.token_counts.items())[:U]
+                for u, (tid, cnt) in enumerate(items):
+                    unique_ids[s, u] = tid
+                    unique_counts[s, u] = cnt
+            t += e.num_tokens
+
+        # Padding rows repeat the last cumulative value (zero-length chunks).
+        cu_q_lens[S_real + 1 :] = cu_q_lens[S_real]
+        mi = ModelInputs(
+            token_ids=token_ids,
+            positions=positions,
+            token_seg=token_seg,
+            new_kv_slot_ids=new_kv_slot_ids,
+            block_tables=block_tables,
+            kv_lens=kv_lens,
+            cu_q_lens=cu_q_lens,
+            num_seqs=np.array([S_real], dtype=np.int32),
+            selected_idxes=selected_idxes,
+            seq_mask=seq_mask,
+        )
+        si = SamplingInputs(
+            temperatures=temperatures,
+            top_ks=top_ks,
+            top_ps=top_ps,
+            frequency_penalties=freq_p,
+            presence_penalties=pres_p,
+            repetition_penalties=rep_p,
+            unique_token_ids=unique_ids,
+            unique_token_counts=unique_counts,
+            seeds=seeds,
+        )
+        return mi, si, needs_sample
+
+    # ------------------------------------------------------------- outputs
+
+    def process_sample_output(
+        self,
+        next_tokens: np.ndarray,  # [S]
+        logprobs: Optional[np.ndarray],  # [S]
+        top_ids: Optional[np.ndarray],  # [S, K]
+        top_logprobs: Optional[np.ndarray],  # [S, K]
+        tokenizer=None,
+    ) -> None:
+        """Write sampled tokens back into sequences and commit KV progress
+        (reference: batch.cpp:272 process_sample_output)."""
+        for s, e in enumerate(self.entries):
+            seq = e.seq
+            seq.commit_kv_cache(e.num_tokens)
+            if not e.needs_sample:
+                continue
+            tid = int(next_tokens[s])
+            lp: Optional[LogProb] = None
+            if logprobs is not None and seq.sampling_params.logprobs:
+                lp = LogProb(
+                    token=tokenizer.id_to_token(tid) if tokenizer else "",
+                    token_id=tid,
+                    logprob=float(logprobs[s]),
+                )
+                k = seq.sampling_params.top_logprobs
+                if k > 0 and top_ids is not None:
+                    lp.top_logprobs = [
+                        LogProbData(
+                            token=tokenizer.id_to_token(int(top_ids[s, j]))
+                            if tokenizer
+                            else "",
+                            token_id=int(top_ids[s, j]),
+                            logprob=float(top_logprobs[s, j]),
+                        )
+                        for j in range(min(k, top_ids.shape[1]))
+                    ]
+            seq.append_token(tid, lp)

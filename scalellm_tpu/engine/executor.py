@@ -1,0 +1,201 @@
+"""Executor — compiles and runs the per-step model program.
+
+TPU-native equivalent of the reference's Worker + ModelRunner
+(reference: src/engine/worker.cpp:125 execute_model,
+src/engine/model_runner.cpp:112 forward with CUDA-graph replay). Instead of
+N worker threads with NCCL communicators, ONE jitted XLA program is sharded
+over the device mesh by shard_map; instead of CUDA-graph capture per
+batch-size bucket, jax.jit's compilation cache keys on the padded bucket
+shapes produced by Batch.prepare_model_inputs — each (T, S, MAXP) bucket
+compiles exactly once and replays thereafter.
+
+KV caches are donated every step so XLA updates them in place (the analog of
+the reference's persistent KVCache tensors, src/memory/kv_cache.h:10).
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from scalellm_tpu.engine.params import ModelInputs, ModelOutputs, SamplingInputs
+from scalellm_tpu.sampling.sampler import sample_tokens
+
+logger = logging.getLogger(__name__)
+
+
+class Executor:
+    """Owns device params + KV caches and the jitted step program."""
+
+    def __init__(
+        self,
+        model,
+        params,  # host (numpy) or device pytree, GLOBAL shapes
+        mesh: Optional[Mesh] = None,
+        max_top_logprobs: int = 0,
+    ):
+        self.model = model
+        self.mesh = mesh
+        self.max_top_logprobs = max_top_logprobs
+        self._step_compiled: Dict[Tuple[int, ...], Any] = {}
+
+        dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32, "float16": jnp.float16}[
+            model.args.dtype
+        ]
+
+        if mesh is not None:
+            specs = model.param_partition_specs()
+            self.params = jax.tree_util.tree_map_with_path(
+                lambda path, x: jax.device_put(
+                    jnp.asarray(x, dtype=dtype),
+                    NamedSharding(mesh, _spec_at(specs, path)),
+                ),
+                params,
+            )
+        else:
+            self.params = jax.tree_util.tree_map(
+                lambda x: jax.device_put(jnp.asarray(x, dtype=dtype)), params
+            )
+        self.kv_cache = None
+        self._kv_dtype = dtype
+
+    # ---------------------------------------------------------------- kv init
+
+    def init_kv_cache(self, num_blocks: int, block_size: int) -> None:
+        """Allocate the paged KV cache arrays
+        (reference: llm_engine.cpp:309 init_kv_cache)."""
+        shape = self.model.kv_cache_shape(num_blocks, block_size)
+        if self.mesh is not None:
+            sharding = NamedSharding(self.mesh, self.model.kv_cache_partition_spec())
+            self.kv_cache = jax.device_put(
+                jnp.zeros(shape, dtype=self._kv_dtype), sharding
+            )
+        else:
+            self.kv_cache = jnp.zeros(shape, dtype=self._kv_dtype)
+
+    def kv_cache_hbm_bytes(self, num_blocks: int, block_size: int) -> int:
+        shape = self.model.kv_cache_shape(num_blocks, block_size)
+        return int(np.prod(shape)) * jnp.dtype(self._kv_dtype).itemsize
+
+    # ---------------------------------------------------------------- step fn
+
+    def _build_step_fn(self):
+        """The per-step program: forward → logits → sample."""
+        model = self.model
+        max_k = self.max_top_logprobs
+
+        def step(params, kv_cache, mi: ModelInputs, si: SamplingInputs):
+            hidden, new_kv = model.forward(params, kv_cache, mi)
+            logits = model.logits(params, hidden)
+            outs = sample_tokens(logits, si, max_top_logprobs=max_k)
+            return outs, new_kv
+
+        if self.mesh is None:
+            return jax.jit(step, donate_argnums=(1,))
+
+        # TP: shard_map with explicit collectives inside the model.
+        from jax.experimental.shard_map import shard_map
+
+        pspecs = model.param_partition_specs()
+        kv_spec = model.kv_cache_partition_spec()
+        replicated = P()
+
+        mi_specs = ModelInputs(
+            token_ids=replicated,
+            positions=replicated,
+            token_seg=replicated,
+            new_kv_slot_ids=replicated,
+            block_tables=replicated,
+            kv_lens=replicated,
+            cu_q_lens=replicated,
+            num_seqs=replicated,
+            selected_idxes=replicated,
+            seq_mask=replicated,
+        )
+        si_specs = SamplingInputs(
+            temperatures=replicated,
+            top_ks=replicated,
+            top_ps=replicated,
+            frequency_penalties=replicated,
+            presence_penalties=replicated,
+            repetition_penalties=replicated,
+            unique_token_ids=replicated,
+            unique_token_counts=replicated,
+            seeds=replicated,
+        )
+        out_specs = (
+            ModelOutputs(
+                next_tokens=replicated,
+                logprobs=replicated,
+                top_ids=replicated,
+                top_logprobs=replicated,
+            ),
+            kv_spec,
+        )
+        sharded = shard_map(
+            step,
+            mesh=self.mesh,
+            in_specs=(pspecs, kv_spec, mi_specs, si_specs),
+            out_specs=out_specs,
+            check_rep=False,
+        )
+        return jax.jit(sharded, donate_argnums=(1,))
+
+    @functools.cached_property
+    def _step_fn(self):
+        return self._build_step_fn()
+
+    # ---------------------------------------------------------------- execute
+
+    def execute(
+        self, mi: ModelInputs, si: SamplingInputs
+    ) -> ModelOutputs:
+        """Run one step; KV caches are updated in place (donated)."""
+        assert self.kv_cache is not None, "init_kv_cache first"
+        mi = jax.tree_util.tree_map(jnp.asarray, mi)
+        si = jax.tree_util.tree_map(jnp.asarray, si)
+        outs, self.kv_cache = self._step_fn(self.params, self.kv_cache, mi, si)
+        return outs
+
+    def warmup(self, block_size: int, buckets=((16, 1), (16, 8))) -> None:
+        """Pre-compile common (T, S) buckets — the analog of CUDA-graph
+        capture at init (reference: llm_engine.cpp:214 capture_cuda_graphs)."""
+        for T, S in buckets:
+            mi = ModelInputs(
+                token_ids=np.zeros(T, np.int32),
+                positions=np.zeros(T, np.int32),
+                token_seg=np.zeros(T, np.int32),
+                new_kv_slot_ids=np.zeros(T, np.int32),
+                block_tables=np.zeros((S, 4), np.int32),
+                kv_lens=np.zeros(S, np.int32),
+                cu_q_lens=np.zeros(S + 1, np.int32),
+                num_seqs=np.zeros(1, np.int32),
+                selected_idxes=np.zeros(S, np.int32),
+                seq_mask=np.zeros(S, np.float32),
+            )
+            si = SamplingInputs(
+                temperatures=np.zeros(S, np.float32),
+                top_ks=np.zeros(S, np.int32),
+                top_ps=np.ones(S, np.float32),
+                frequency_penalties=np.zeros(S, np.float32),
+                presence_penalties=np.zeros(S, np.float32),
+                repetition_penalties=np.ones(S, np.float32),
+                unique_token_ids=np.zeros((S, 1), np.int32),
+                unique_token_counts=np.zeros((S, 1), np.int32),
+                seeds=np.zeros(S, np.uint32),
+            )
+            self.execute(mi, si)
+
+
+def _spec_at(specs, path):
+    """Look up the PartitionSpec for a pytree path (DictKey components)."""
+    node = specs
+    for key in path:
+        node = node[key.key]
+    return node

@@ -1,0 +1,180 @@
+"""LLMEngine — owns the model executor, tokenizer, and KV block manager.
+
+TPU-native equivalent of the reference's LLMEngine
+(reference: src/engine/llm_engine.{h,cpp}). Init pipeline mirrors
+llm_engine.cpp:110: load model → profile device memory → size the KV cache →
+allocate blocks → warm up compiled buckets (the CUDA-graph-capture analog).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from scalellm_tpu.engine.batch import Batch
+from scalellm_tpu.engine.executor import Executor
+from scalellm_tpu.memory.block_manager import BlockManager, BlockManagerOptions
+from scalellm_tpu.model_loader.loader import HFModelLoader
+from scalellm_tpu.models.registry import ModelRegistry
+from scalellm_tpu.parallel.config import ParallelConfig
+from scalellm_tpu.tokenizer.tokenizer import load_tokenizer
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class EngineOptions:
+    """Engine knobs (reference: llm_handler.h:56-102 Options)."""
+
+    model_path: str = ""
+    block_size: int = 16
+    # Max KV cache size in bytes (0 = use memory utilization instead).
+    max_cache_size: int = 0
+    # Fraction of free device memory for KV (reference default 0.9).
+    max_memory_utilization: float = 0.9
+    enable_prefix_cache: bool = True
+    # Direct override for number of KV blocks (tests / CPU).
+    num_blocks: int = 0
+    # Tensor-parallel degree (devices per replica).
+    tp_size: int = 1
+    # Warm up compile cache at init.
+    warmup: bool = True
+    max_top_logprobs: int = 20
+    # Speculative decoding.
+    draft_model_path: Optional[str] = None
+    num_speculative_tokens: int = 0
+
+
+class LLMEngine:
+    """(reference: src/engine/engine.h:10 Engine interface)"""
+
+    def __init__(self, options: EngineOptions, mesh=None):
+        self.options = options
+        self.mesh = mesh
+        t0 = time.monotonic()
+
+        # ---- load model metadata (reference: llm_engine.cpp:133 init_model)
+        loader = HFModelLoader(options.model_path)
+        self.model_args = loader.model_args
+        self.quant_args = loader.quant_args
+        self.tokenizer_args = loader.tokenizer_args
+        self.tokenizer = load_tokenizer(
+            options.model_path, loader.tokenizer_args.chat_template
+        )
+
+        tp = options.tp_size
+        if mesh is not None:
+            tp = int(mesh.shape.get("tp", tp))
+        parallel = ParallelConfig(
+            tp_axis="tp" if (mesh is not None and tp > 1) else None,
+            tp_size=tp if mesh is not None else 1,
+        )
+        factory = ModelRegistry.get_causal_lm_factory(self.model_args.model_type)
+        if factory is None:
+            raise ValueError(f"no causal LM for {self.model_args.model_type!r}")
+        self.model = factory(self.model_args, parallel)
+
+        params = loader.load_params(self.model)
+        self.executor = Executor(
+            self.model,
+            params,
+            mesh=mesh,
+            max_top_logprobs=options.max_top_logprobs,
+        )
+        del params
+        logger.info(
+            "model %s loaded in %.1fs", self.model_args.model_type, time.monotonic() - t0
+        )
+
+        # ---- size + allocate KV cache
+        num_blocks = options.num_blocks or self._profile_num_blocks()
+        self.block_manager = BlockManager(
+            BlockManagerOptions(
+                num_blocks=num_blocks,
+                block_size=options.block_size,
+                enable_prefix_cache=options.enable_prefix_cache,
+            )
+        )
+        self.executor.init_kv_cache(num_blocks, options.block_size)
+        logger.info(
+            "kv cache: %d blocks x %d slots (%.2f GiB)",
+            num_blocks,
+            options.block_size,
+            self.executor.kv_cache_hbm_bytes(num_blocks, options.block_size) / 2**30,
+        )
+
+        if options.warmup:
+            self.executor.warmup(options.block_size)
+
+        self._step_counter = 0
+
+    # ---------------------------------------------------------------- memory
+
+    def kv_cache_slot_size_in_bytes(self) -> int:
+        """Bytes per KV slot across all layers
+        (reference: llm_engine.cpp:378 kv_cache_slot_size_in_bytes)."""
+        a = self.model_args
+        dtype_size = {"bfloat16": 2, "float16": 2, "float32": 4}[a.dtype]
+        n_kv = self.model.n_local_kv_heads * self.model.parallel.tp_size
+        head_dim = getattr(self.model, "kv_head_dim", a.head_dim)
+        return 2 * a.n_layers * n_kv * head_dim * dtype_size
+
+    def _profile_num_blocks(self) -> int:
+        """Profile available device memory and size the KV cache
+        (reference: llm_engine.cpp:235 profile_memory_for_kv_cache)."""
+        import jax
+
+        opts = self.options
+        slot_bytes = self.kv_cache_slot_size_in_bytes()
+        block_bytes = slot_bytes * opts.block_size
+
+        if opts.max_cache_size > 0:
+            cache_bytes = opts.max_cache_size
+        else:
+            dev = jax.devices()[0]
+            stats = None
+            try:
+                stats = dev.memory_stats()
+            except Exception:
+                pass
+            if stats and stats.get("bytes_limit"):
+                limit = stats["bytes_limit"]
+                in_use = stats.get("bytes_in_use", 0)
+                free = limit - in_use
+                cache_bytes = int(free * opts.max_memory_utilization)
+            else:
+                # CPU / simulator: modest default.
+                cache_bytes = 256 * 2**20
+        num_blocks = max(cache_bytes // block_bytes, 16)
+        # TP shards the kv-head dim across devices; per-device blocks hold
+        # n_kv/tp heads, so the device budget supports tp× the blocks — but
+        # the logical block count is global, so no adjustment needed (each
+        # device stores 1/tp of every block).
+        return int(num_blocks)
+
+    # ---------------------------------------------------------------- execute
+
+    def execute_model(self, batch: Batch) -> None:
+        """Run one engine step for the batch
+        (reference: llm_engine.cpp:342 execute_model)."""
+        if not batch.entries:
+            return
+        self._step_counter += 1
+        mi, si, needs_sample = batch.prepare_model_inputs(
+            self.options.block_size, self._step_counter
+        )
+        outs = self.executor.execute(mi, si)
+        next_tokens = np.asarray(outs.next_tokens)
+        want_lp = any(
+            e.seq.sampling_params.logprobs for e in batch.entries
+        )
+        logprobs = np.asarray(outs.logprobs) if want_lp else None
+        top_ids = np.asarray(outs.top_ids) if want_lp else None
+        top_lps = np.asarray(outs.top_logprobs) if want_lp else None
+        batch.process_sample_output(
+            next_tokens, logprobs, top_ids, top_lps, self.tokenizer
+        )

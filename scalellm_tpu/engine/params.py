@@ -35,6 +35,11 @@ class ModelInputs:
     block_tables: jnp.ndarray
     # [S] total kv length per sequence incl. this step's tokens (padding: 0)
     kv_lens: jnp.ndarray
+    # [S+1] cumulative q-chunk lengths over the flattened [T] dim; rows past
+    # the real sequences repeat the last value
+    cu_q_lens: jnp.ndarray
+    # i32[1] dynamic number of real sequences
+    num_seqs: jnp.ndarray
     # [S] index into [T] of each sequence's last token (logit selection)
     selected_idxes: jnp.ndarray
     # [S] 1.0 for real sequences, 0.0 for padding

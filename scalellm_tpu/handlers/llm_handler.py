@@ -1,0 +1,290 @@
+"""LLMHandler — the single front-door API.
+
+TPU-native equivalent of the reference's LLMHandler
+(reference: src/handlers/llm_handler.{h,cpp}): builds the engine from
+Options, owns the scheduler loop thread and request-handling thread pool,
+validates sampling params (verify_params, llm_handler.cpp:103-164), applies
+chat templates, and keeps tokenization off the scheduler's hot path.
+"""
+
+from __future__ import annotations
+
+import logging
+import threading
+import time
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional, Sequence
+
+from scalellm_tpu.engine.batch import TOKEN_BUCKETS
+from scalellm_tpu.engine.llm_engine import EngineOptions, LLMEngine
+from scalellm_tpu.errors import ValidationError
+from scalellm_tpu.request.output import (
+    Priority,
+    RequestOutput,
+    Status,
+    StatusCode,
+)
+from scalellm_tpu.request.request import OnOutput, Request
+from scalellm_tpu.request.stopping import StoppingCriteria
+from scalellm_tpu.sampling.params import SamplingParams
+from scalellm_tpu.scheduler.continuous_scheduler import (
+    ContinuousScheduler,
+    SchedulerOptions,
+)
+from scalellm_tpu.scheduler.response_handler import ResponseHandler
+from scalellm_tpu.utils.chat import Message, apply_chat_template
+from scalellm_tpu.utils.metrics import COUNTERS, HISTOGRAMS
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class LLMHandlerOptions:
+    """(reference: llm_handler.h:56-102 Options — ~16 knobs)"""
+
+    model_path: str = ""
+    devices: str = "auto"
+    draft_model_path: Optional[str] = None
+    block_size: int = 16
+    max_cache_size: int = 0
+    max_memory_utilization: float = 0.9
+    enable_prefix_cache: bool = True
+    enable_cuda_graph: bool = True  # here: warm up jit bucket cache
+    max_tokens_per_batch: int = 512
+    max_seqs_per_batch: int = 128
+    num_speculative_tokens: int = 0
+    num_handling_threads: int = 4
+    tp_size: int = 1
+    num_blocks: int = 0  # direct override (tests)
+    max_context_len: int = 0  # 0 = model's max_position_embeddings
+
+
+class LLMHandler:
+    def __init__(self, options: LLMHandlerOptions, mesh=None):
+        self.options = options
+        engine_opts = EngineOptions(
+            model_path=options.model_path,
+            block_size=options.block_size,
+            max_cache_size=options.max_cache_size,
+            max_memory_utilization=options.max_memory_utilization,
+            enable_prefix_cache=options.enable_prefix_cache,
+            num_blocks=options.num_blocks,
+            tp_size=options.tp_size,
+            warmup=options.enable_cuda_graph,
+            draft_model_path=options.draft_model_path,
+            num_speculative_tokens=options.num_speculative_tokens,
+        )
+        if options.draft_model_path:
+            from scalellm_tpu.speculative.speculative_engine import SpeculativeEngine
+
+            self.engine = SpeculativeEngine(engine_opts, mesh=mesh)
+        else:
+            self.engine = LLMEngine(engine_opts, mesh=mesh)
+        self.tokenizer = self.engine.tokenizer
+        self.model_args = self.engine.model_args
+
+        self._response_handler = ResponseHandler(self.tokenizer, threaded=True)
+        self.scheduler = ContinuousScheduler(
+            self.engine,
+            SchedulerOptions(
+                max_tokens_per_batch=options.max_tokens_per_batch,
+                max_seqs_per_batch=options.max_seqs_per_batch,
+                num_speculative_tokens=options.num_speculative_tokens,
+            ),
+            response_handler=self._response_handler,
+        )
+        # Request-handling pool keeps tokenization/templating off the
+        # scheduler loop (reference: llm_handler.cpp:237-243).
+        self._pool = ThreadPoolExecutor(
+            max_workers=options.num_handling_threads, thread_name_prefix="handler"
+        )
+        self._loop_thread: Optional[threading.Thread] = None
+        self._stop_event = threading.Event()
+
+        self._max_context_len = options.max_context_len or (
+            self.model_args.max_position_embeddings
+        )
+
+    # ------------------------------------------------------------- scheduling
+
+    def schedule_async(
+        self,
+        prompt: str,
+        sp: SamplingParams,
+        priority: Priority = Priority.NORMAL,
+        stream: bool = False,
+        callback: OnOutput = lambda out: True,
+    ) -> None:
+        """Validate + tokenize + enqueue, off the caller's thread
+        (reference: llm_handler.cpp:286 schedule_async)."""
+        self._pool.submit(self._handle, prompt, None, sp, priority, stream, callback)
+
+    def schedule_chat_async(
+        self,
+        messages: Sequence[Message],
+        sp: SamplingParams,
+        priority: Priority = Priority.NORMAL,
+        stream: bool = False,
+        callback: OnOutput = lambda out: True,
+    ) -> None:
+        """(reference: llm_handler.cpp:266 schedule_chat_async)"""
+        self._pool.submit(
+            self._handle, None, list(messages), sp, priority, stream, callback
+        )
+
+    def schedule_batch_async(
+        self,
+        prompts: Sequence[str],
+        sps: Sequence[SamplingParams],
+        priority: Priority = Priority.NORMAL,
+        stream: bool = False,
+        callbacks: Optional[Sequence[OnOutput]] = None,
+    ) -> None:
+        assert callbacks is None or len(callbacks) == len(prompts)
+        if len(sps) == 1:
+            sps = list(sps) * len(prompts)
+        for i, (p, sp) in enumerate(zip(prompts, sps)):
+            cb = callbacks[i] if callbacks else (lambda out: True)
+            self.schedule_async(p, sp, priority, stream, cb)
+
+    def _handle(self, prompt, messages, sp, priority, stream, callback) -> None:
+        t0 = time.monotonic()
+        try:
+            sp.verify()
+            if messages is not None:
+                prompt = self.apply_chat_template(messages)
+            prompt_tokens = self.tokenizer.encode(prompt)
+            if not prompt_tokens:
+                raise ValidationError(StatusCode.INVALID_ARGUMENT, "empty prompt")
+            if len(prompt_tokens) >= self._max_context_len:
+                raise ValidationError(
+                    StatusCode.INVALID_ARGUMENT,
+                    f"prompt ({len(prompt_tokens)} tokens) exceeds max context "
+                    f"length {self._max_context_len}",
+                )
+            if len(prompt_tokens) + sp.max_tokens > TOKEN_BUCKETS[-1]:
+                raise ValidationError(
+                    StatusCode.INVALID_ARGUMENT,
+                    "prompt + max_tokens exceeds engine limit",
+                )
+            stopping = self._build_stopping_criteria(sp, len(prompt_tokens))
+            request = Request(
+                prompt=prompt,
+                prompt_tokens=prompt_tokens,
+                sampling_params=sp,
+                stopping_criteria=stopping,
+                on_output=callback,
+                stream=stream,
+                priority=priority,
+                enable_prefix_cache=self.options.enable_prefix_cache,
+            )
+            if not self.scheduler.schedule(request):
+                raise ValidationError(
+                    StatusCode.RESOURCE_EXHAUSTED, "request queue is full"
+                )
+            COUNTERS.inc("request_handling_total")
+            HISTOGRAMS.observe(
+                "request_handling_latency_seconds", time.monotonic() - t0
+            )
+        except ValidationError as e:
+            callback(
+                RequestOutput(
+                    status=Status(e.code, e.message),
+                    finished=True,
+                )
+            )
+        except Exception as e:  # report, don't kill the pool thread
+            logger.exception("request handling failed")
+            callback(
+                RequestOutput(
+                    status=Status(StatusCode.UNKNOWN, str(e)),
+                    finished=True,
+                )
+            )
+
+    def _build_stopping_criteria(
+        self, sp: SamplingParams, num_prompt_tokens: int
+    ) -> StoppingCriteria:
+        max_tokens = sp.max_tokens
+        max_ctx = self._max_context_len
+        stop_sequences = []
+        if sp.stop:
+            stop_sequences = [
+                self.tokenizer.encode(s, add_special_tokens=False) for s in sp.stop
+            ]
+        stop_ids = set(sp.stop_token_ids or [])
+        stop_ids.update(self.model_args.stop_token_ids)
+        return StoppingCriteria(
+            max_tokens=max_tokens,
+            max_context_len=max_ctx,
+            eos_token_id=self.model_args.eos_token_id,
+            ignore_eos=sp.ignore_eos,
+            stop_token_ids=stop_ids,
+            stop_sequences=stop_sequences,
+        )
+
+    # ------------------------------------------------------------- templates
+
+    def apply_chat_template(self, messages: Sequence[Message]) -> str:
+        """Jinja template from tokenizer_config when present, else the coded
+        per-model template (reference: chat_template.h:20; the reference only
+        executes coded templates — jinja is a capability superset)."""
+        return apply_chat_template(
+            messages,
+            jinja_template=getattr(self.tokenizer, "chat_template", None),
+            model_type=self.model_args.model_type,
+        )
+
+    # ------------------------------------------------------------- encode/decode
+
+    def encode(self, text: str) -> List[int]:
+        return self.tokenizer.encode(text)
+
+    def decode(self, tokens: Sequence[int], skip_special_tokens: bool = True) -> str:
+        return self.tokenizer.decode(tokens, skip_special_tokens)
+
+    # ------------------------------------------------------------- loop
+
+    def start(self) -> None:
+        """Start the scheduler loop thread (reference: llm_handler.h:216)."""
+        if self._loop_thread is not None:
+            return
+        self._stop_event.clear()
+
+        def loop():
+            while not self._stop_event.is_set():
+                try:
+                    self.scheduler.step(timeout_s=0.05)
+                except Exception:
+                    logger.exception("scheduler step failed")
+                    time.sleep(0.1)
+
+        self._loop_thread = threading.Thread(target=loop, name="scheduler", daemon=True)
+        self._loop_thread.start()
+
+    def stop(self) -> None:
+        if self._loop_thread is None:
+            return
+        self._stop_event.set()
+        self._loop_thread.join(timeout=10)
+        self._loop_thread = None
+
+    def run_until_complete(self) -> None:
+        """Drain all scheduled work (offline batch mode,
+        reference: llm_handler.cpp:469)."""
+        # Wait for handling threads to finish tokenizing/enqueueing first.
+        self._pool.shutdown(wait=True)
+        self._pool = ThreadPoolExecutor(
+            max_workers=self.options.num_handling_threads, thread_name_prefix="handler"
+        )
+        self.scheduler.run_until_complete()
+
+    def reset(self) -> None:
+        pass
+
+    def __del__(self):
+        try:
+            self.stop()
+        except Exception:
+            pass

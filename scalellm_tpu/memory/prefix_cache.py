@@ -25,8 +25,11 @@ class _Node:
         self.tokens = tokens
         self.blocks = blocks
         self.parent = parent
-        # children keyed by the first token id of the child's run
-        self.children: Dict[int, "_Node"] = {}
+        # children keyed by the TUPLE of the child's first block of token
+        # ids — a child hit therefore always matches >= 1 whole block, which
+        # keeps insert() monotonic (a first-token key would loop forever when
+        # two blocks share a first token but diverge mid-block).
+        self.children: Dict[tuple, "_Node"] = {}
         self.last_access = next(_access_counter)
 
     def touch(self) -> None:
@@ -58,7 +61,8 @@ class PrefixCache:
         node = self._root
         pos = 0
         while pos < n:
-            child = node.children.get(token_ids[pos])
+            key = tuple(token_ids[pos : pos + self._block_size])
+            child = node.children.get(key)
             if child is None:
                 break
             # Compare block by block within the child.
@@ -95,14 +99,14 @@ class PrefixCache:
         bi = 0  # block index
         new_blocks = 0
         while bi < n_blocks:
-            first = tokens[pos]
-            child = node.children.get(first)
+            key = tuple(tokens[pos : pos + self._block_size])
+            child = node.children.get(key)
             if child is None:
                 # Insert remainder as a new leaf.
                 rem_tokens = tokens[pos:]
                 rem_blocks = [b.inc_ref() for b in blocks[bi:n_blocks]]
                 leaf = _Node(rem_tokens, rem_blocks, node)
-                node.children[first] = leaf
+                node.children[key] = leaf
                 self._num_blocks += len(rem_blocks)
                 new_blocks += len(rem_blocks)
                 return new_blocks
@@ -140,7 +144,7 @@ class PrefixCache:
         for c in tail.children.values():
             c.parent = tail
         tail.last_access = node.last_access
-        node.children = {tail_tokens[0]: tail}
+        node.children = {tuple(tail_tokens[: self._block_size]): tail}
 
     # --------------------------------------------------------------- evict
 

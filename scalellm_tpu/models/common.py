@@ -36,7 +36,7 @@ from scalellm_tpu.engine.params import ModelInputs
 from scalellm_tpu.layers.activations import act_with_mul
 from scalellm_tpu.layers.norms import layer_norm, rms_norm
 from scalellm_tpu.layers.rope import apply_rope, compute_cos_sin
-from scalellm_tpu.ops.attention_ref import ref_ragged_paged_attention
+from scalellm_tpu.ops.attention import kernel_head_dim, ragged_paged_attention
 from scalellm_tpu.ops.kv_update import set_kv_cache
 from scalellm_tpu.parallel.config import ParallelConfig
 
@@ -61,7 +61,7 @@ class DecoderModel:
     ):
         self.args = args
         self.parallel = parallel
-        self.attn_impl = attn_impl or ref_ragged_paged_attention
+        self.attn_impl = attn_impl or ragged_paged_attention
         tp = parallel.tp_size
         assert args.n_heads % tp == 0, "n_heads must divide tp_size"
         # KV heads replicate when n_kv_heads < tp (reference:
@@ -70,6 +70,9 @@ class DecoderModel:
         self.kv_replication = max(1, tp // args.n_kv_heads)
         self.n_local_kv_heads = max(1, args.n_kv_heads // tp)
         assert args.intermediate_size % tp == 0
+        # KV pages may store zero-padded heads when the attention backend
+        # needs a wider lane-aligned head dim (TPU kernel: multiples of 128).
+        self.kv_head_dim = kernel_head_dim(args.head_dim)
 
     # ------------------------------------------------------------ param spec
 
@@ -129,10 +132,11 @@ class DecoderModel:
         return specs
 
     def kv_cache_shape(self, num_pages: int, page_size: int) -> Tuple[int, ...]:
-        """GLOBAL kv cache shape (kv-head dim sharded over tp)."""
+        """GLOBAL combined kv cache shape (K/V interleaved on the head dim,
+        K even / V odd; that dim is sharded over tp)."""
         a = self.args
         Hkv = self.n_local_kv_heads * self.parallel.tp_size
-        return (a.n_layers, num_pages, page_size, Hkv, a.head_dim)
+        return (a.n_layers, num_pages, page_size, 2 * Hkv, self.kv_head_dim)
 
     def kv_cache_partition_spec(self) -> P:
         return P(None, None, None, self.parallel.tp_axis, None)
@@ -192,11 +196,10 @@ class DecoderModel:
     def forward(
         self,
         params: Dict[str, Any],
-        k_cache: jnp.ndarray,  # [L, P, page, Hkv_local, Dh] (local shapes)
-        v_cache: jnp.ndarray,
+        kv_cache: jnp.ndarray,  # [L, P, page, 2*Hkv_local, Dh] (local shapes)
         mi: ModelInputs,
     ):
-        """Returns (hidden_selected [S, D], new_k_cache, new_v_cache)."""
+        """Returns (hidden_selected [S, D], new_kv_cache)."""
         a = self.args
         tp_axis = self.parallel.tp_axis
         H_local = self.n_local_heads
@@ -210,14 +213,28 @@ class DecoderModel:
 
         cos, sin = compute_cos_sin(a, mi.positions)
         windows = self._layer_windows()
+        soft_cap = a.attn_logit_soft_cap if a.attn_logit_soft_cap > 0 else None
+
+        def attend(q, kvc, window):
+            return self.attn_impl(
+                q,
+                kvc,
+                mi.kv_lens,
+                mi.block_tables,
+                mi.cu_q_lens,
+                mi.num_seqs,
+                sm_scale=sm_scale,
+                sliding_window=window,
+                logit_soft_cap=soft_cap,
+            )
 
         def layer_fn(carry, xs):
             h = carry
             if windows is None:
-                lp, kc, vc = xs
-                window = None
+                lp, kvc = xs
+                window_flag = None
             else:
-                lp, kc, vc, window = xs
+                lp, kvc, window_flag = xs
 
             # ---- attention
             x = self._norm(h, lp["input_norm"])
@@ -235,21 +252,29 @@ class DecoderModel:
             q = apply_rope(q, cos, sin, a.interleaved_rope)
             k = apply_rope(k, cos, sin, a.interleaved_rope)
 
-            kc = set_kv_cache(kc, k, mi.new_kv_slot_ids)
-            vc = set_kv_cache(vc, v, mi.new_kv_slot_ids)
+            if self.kv_head_dim != Dh:
+                pad = [(0, 0), (0, 0), (0, self.kv_head_dim - Dh)]
+                q = jnp.pad(q, pad)
+                k = jnp.pad(k, pad)
+                v = jnp.pad(v, pad)
 
-            o = self.attn_impl(
-                q,
-                kc,
-                vc,
-                mi.positions,
-                mi.token_seg,
-                mi.block_tables,
-                mi.kv_lens,
-                sm_scale,
-                sliding_window=window,
-                logit_soft_cap=a.attn_logit_soft_cap,
-            )
+            kvc = set_kv_cache(kvc, k, v, mi.new_kv_slot_ids)
+
+            if windows is None:
+                o = attend(q, kvc, a.sliding_window or None)
+            else:
+                # Per-layer window alternation (gemma2-style): the kernel
+                # needs a STATIC window, so branch on the traced flag between
+                # two statically-compiled variants.
+                o = lax.cond(
+                    window_flag > 0,
+                    lambda q, kvc: attend(q, kvc, a.sliding_window),
+                    lambda q, kvc: attend(q, kvc, None),
+                    q,
+                    kvc,
+                )
+            if self.kv_head_dim != Dh:
+                o = o[..., :Dh]
             o = jnp.dot(
                 o.reshape(T, H_local * Dh),
                 lp["o_proj"],
@@ -268,16 +293,16 @@ class DecoderModel:
             if tp_axis is not None:
                 m = lax.psum(m, tp_axis)
             h = h + m.astype(h.dtype)
-            return h, (kc, vc)
+            return h, kvc
 
-        xs = (params["layers"], k_cache, v_cache)
+        xs = (params["layers"], kv_cache)
         if windows is not None:
             xs = xs + (windows,)
-        h, (new_k, new_v) = lax.scan(layer_fn, h, xs)
+        h, new_kv = lax.scan(layer_fn, h, xs)
 
         h = self._norm(h, params["final_norm"])
         hidden_sel = h[mi.selected_idxes]  # [S, D]
-        return hidden_sel, new_k, new_v
+        return hidden_sel, new_kv
 
     def logits(self, params: Dict[str, Any], hidden: jnp.ndarray) -> jnp.ndarray:
         """[S, D] → full [S, V] logits (all-gathered over tp when sharded)."""

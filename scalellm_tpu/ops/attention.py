@@ -1,0 +1,96 @@
+"""Ragged paged attention — backend dispatcher.
+
+The TPU-native replacement for the reference's paged_kv_varlen_mha CuTe
+kernel (reference: src/kernels/attention/attn_api.h:14) and its
+AttentionHandler strategy layer (reference: src/layers/attention/handler.h:15).
+
+One call handles mixed prefill/decode: q is a flattened ragged batch whose
+per-sequence chunks are each the TAIL of that sequence's KV context
+(cu_q_lens gives chunk boundaries; kv_lens the total context). Supports
+paged KV with block tables, GQA, causal masking, sliding window, and logit
+soft-capping.
+
+Backends:
+  - TPU: the tuned Pallas ragged-paged-attention kernel (flash-style online
+    softmax over KV pages, jax.experimental.pallas.ops.tpu)
+  - CPU/other: pure-jnp reference (ops/attention_ref.py) — also the ground
+    truth in kernel parity tests.
+
+KV page layout (shared with the kernel): [num_pages, page_size,
+2 * n_kv_heads, head_dim], K at even combined-head indices, V at odd.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from scalellm_tpu.ops.attention_ref import ref_ragged_paged_attention
+
+
+@functools.cache
+def _default_backend() -> str:
+    try:
+        return jax.devices()[0].platform
+    except Exception:
+        return "cpu"
+
+
+def kernel_head_dim(head_dim: int, backend: Optional[str] = None) -> int:
+    """Head dim the attention backend requires in the KV-page layout.
+
+    The TPU kernel tiles heads onto 128-wide lanes, so head_dim must be a
+    multiple of 128; models with smaller heads (e.g. 64) store zero-padded
+    pages (K padding contributes nothing to scores, V padding produces
+    zeros that callers slice off). Other backends take any head dim.
+    """
+    backend = backend or _default_backend()
+    if backend == "tpu":
+        return ((head_dim + 127) // 128) * 128
+    return head_dim
+
+
+def ragged_paged_attention(
+    q: jnp.ndarray,  # [T, n_heads, head_dim]
+    kv_pages: jnp.ndarray,  # [P, page_size, 2*n_kv_heads, head_dim]
+    kv_lens: jnp.ndarray,  # i32[S]
+    page_indices: jnp.ndarray,  # i32[S, pages_per_seq]
+    cu_q_lens: jnp.ndarray,  # i32[S+1]
+    num_seqs: jnp.ndarray,  # i32[1]
+    *,
+    sm_scale: float = 1.0,
+    sliding_window: Optional[int] = None,
+    logit_soft_cap: Optional[float] = None,
+    backend: Optional[str] = None,
+) -> jnp.ndarray:
+    backend = backend or _default_backend()
+    if backend == "tpu":
+        from jax.experimental.pallas.ops.tpu.ragged_paged_attention import (
+            ragged_paged_attention as tpu_kernel,
+        )
+
+        return tpu_kernel(
+            q,
+            kv_pages,
+            kv_lens,
+            page_indices,
+            cu_q_lens,
+            num_seqs,
+            sm_scale=sm_scale,
+            sliding_window=sliding_window,
+            soft_cap=logit_soft_cap,
+        )
+    return ref_ragged_paged_attention(
+        q,
+        kv_pages,
+        kv_lens,
+        page_indices,
+        cu_q_lens,
+        num_seqs,
+        sm_scale=sm_scale,
+        sliding_window=sliding_window,
+        logit_soft_cap=logit_soft_cap,
+    )

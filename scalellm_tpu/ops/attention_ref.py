@@ -1,13 +1,15 @@
 """Reference ragged paged attention in pure jnp.
 
-The semantic ground truth for the Pallas kernels (the analog of the
+The semantic ground truth for the Pallas kernel path (the analog of the
 reference's RefHandler, src/layers/attention/ref_handler.h:13, and the CuTe
 paged_kv_varlen_mha kernel's contract, src/kernels/attention/attn_api.h:14).
 
-Handles, in one call:
-  - mixed prefill/decode: queries are a flattened ragged batch [T, H, D]
-    with per-token sequence ids (chunked prefill falls out naturally)
-  - paged KV with block-table indirection
+Handles, in one jit-friendly call (no python loop over sequences):
+  - mixed prefill/decode: q is a flattened ragged batch [T, H, D]; each
+    sequence's chunk is the tail of its KV context (chunked prefill falls
+    out naturally)
+  - paged KV with block-table indirection, combined K/V page layout
+    [P, page_size, 2*Hkv, D] (K even combined-heads, V odd)
   - GQA (n_heads a multiple of n_kv_heads)
   - causal masking by absolute position
   - sliding-window attention (reference: model_args.h:125-127)
@@ -26,49 +28,59 @@ import jax.numpy as jnp
 
 def ref_ragged_paged_attention(
     q: jnp.ndarray,  # [T, n_heads, head_dim]
-    k_cache: jnp.ndarray,  # [P, page_size, n_kv_heads, head_dim] (already updated)
-    v_cache: jnp.ndarray,  # [P, page_size, n_kv_heads, head_dim]
-    positions: jnp.ndarray,  # [T] query token positions
-    token_seg: jnp.ndarray,  # [T] owning sequence index
-    block_tables: jnp.ndarray,  # [S, MAXP]
-    kv_lens: jnp.ndarray,  # [S]
-    sm_scale: float,
+    kv_pages: jnp.ndarray,  # [P, page_size, 2*n_kv_heads, head_dim]
+    kv_lens: jnp.ndarray,  # i32[S]
+    page_indices: jnp.ndarray,  # i32[S, MAXP]
+    cu_q_lens: jnp.ndarray,  # i32[S+1]
+    num_seqs: jnp.ndarray,  # i32[1] (unused: padding rows are fully masked)
+    *,
+    sm_scale: float = 1.0,
     sliding_window: Optional[int] = None,
-    logit_soft_cap: float = 0.0,
+    logit_soft_cap: Optional[float] = None,
 ) -> jnp.ndarray:
     T, n_heads, head_dim = q.shape
-    S, MAXP = block_tables.shape
-    page_size = k_cache.shape[1]
-    n_kv_heads = k_cache.shape[2]
+    S, MAXP = page_indices.shape
+    page_size = kv_pages.shape[1]
+    n_kv_heads = kv_pages.shape[2] // 2
     group = n_heads // n_kv_heads
     KV = MAXP * page_size
 
+    # Owning sequence of each flattened q token, and its absolute position.
+    tok = jnp.arange(T, dtype=jnp.int32)
+    token_seg = jnp.clip(
+        jnp.searchsorted(cu_q_lens[1:], tok, side="right"), 0, S - 1
+    ).astype(jnp.int32)
+    q_lens = cu_q_lens[1:] - cu_q_lens[:-1]  # [S]
+    # position of token within full context: kv_len - q_len + (t - q_start)
+    positions = (
+        kv_lens[token_seg]
+        - q_lens[token_seg]
+        + (tok - cu_q_lens[token_seg])
+    )
+
     # Gather each sequence's KV pages: [S, KV, n_kv_heads, head_dim].
-    k_seq = k_cache[block_tables].reshape(S, KV, n_kv_heads, head_dim)
-    v_seq = v_cache[block_tables].reshape(S, KV, n_kv_heads, head_dim)
-    # Per-token view: [T, KV, n_kv_heads, head_dim].
-    k_tok = k_seq[token_seg]
+    pages = kv_pages[page_indices]  # [S, MAXP, page, 2H, D]
+    k_seq = pages[:, :, :, 0::2, :].reshape(S, KV, n_kv_heads, head_dim)
+    v_seq = pages[:, :, :, 1::2, :].reshape(S, KV, n_kv_heads, head_dim)
+    k_tok = k_seq[token_seg]  # [T, KV, H_kv, D]
     v_tok = v_seq[token_seg]
 
     qf = q.reshape(T, n_kv_heads, group, head_dim).astype(jnp.float32)
     kf = k_tok.astype(jnp.float32)
     vf = v_tok.astype(jnp.float32)
 
-    # scores[t, h, g, j] = q[t, h, g] · k[t, j, h]
     scores = jnp.einsum("thgd,tjhd->thgj", qf, kf) * sm_scale
-    if logit_soft_cap > 0.0:
+    if logit_soft_cap is not None and logit_soft_cap > 0.0:
         scores = logit_soft_cap * jnp.tanh(scores / logit_soft_cap)
 
     kv_idx = jnp.arange(KV, dtype=jnp.int32)[None, :]  # [1, KV]
     pos = positions.astype(jnp.int32)[:, None]  # [T, 1]
-    valid = kv_idx < kv_lens[token_seg][:, None]  # within the sequence
+    valid = kv_idx < kv_lens[token_seg][:, None]
     causal = kv_idx <= pos
     mask = valid & causal
     if sliding_window is not None:
-        # sliding_window may be a traced per-layer scalar; <= 0 disables it
-        # (lets lax.scan pass a [n_layers] window array for gemma2-style
-        # alternating local/global attention).
         win = jnp.asarray(sliding_window, dtype=jnp.int32)
+        # <= 0 disables (lets callers pass a traced per-layer scalar).
         win_mask = (win <= 0) | (kv_idx > pos - win)
         mask = mask & win_mask
     mask = mask[:, None, None, :]  # [T, 1, 1, KV]

@@ -1,0 +1,277 @@
+"""ContinuousScheduler — continuous batching with chunked prefill,
+preemption, priorities, and prefix-cache-aware n/best_of expansion.
+
+TPU-native equivalent of the reference's ContinuousScheduler
+(reference: src/scheduler/continuous_scheduler.{h,cpp}):
+  - MPMC intake queue → 3-level priority order (HIGH/NORMAL/LOW then FCFS,
+    request.h:115-135)
+  - per-step batch build under token budget (max_tokens_per_batch) and seq
+    budget (max_seqs_per_batch) — chunked prefill falls out of the per-seq
+    token budgets (continuous_scheduler.cpp:163-175)
+  - preemption of the lowest-priority block-holding request on KV exhaustion
+    (continuous_scheduler.cpp:251-261)
+  - lazy n/best_of sequence expansion after prefill so siblings share the
+    prompt KV via the prefix cache (continuous_scheduler.cpp:137-142)
+  - releases blocks of finished sequences; streams deltas via ResponseHandler
+"""
+
+from __future__ import annotations
+
+import logging
+import queue
+import threading
+import time
+from dataclasses import dataclass
+from typing import List, Optional
+
+from scalellm_tpu.engine.batch import Batch
+from scalellm_tpu.request.output import Status, StatusCode
+from scalellm_tpu.request.request import Request
+from scalellm_tpu.scheduler.response_handler import ResponseHandler
+from scalellm_tpu.utils.metrics import COUNTERS, GAUGES, HISTOGRAMS
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class SchedulerOptions:
+    """(reference: continuous_scheduler.h:26-29 Options)"""
+
+    max_tokens_per_batch: int = 512
+    max_seqs_per_batch: int = 128
+    # Extra slots reserved per decode seq for speculative decoding.
+    num_speculative_tokens: int = 0
+    # Intake queue capacity (reference: continuous_scheduler.cpp:58, 100k).
+    max_pending_requests: int = 100_000
+
+
+class ContinuousScheduler:
+    def __init__(
+        self,
+        engine,
+        options: SchedulerOptions = SchedulerOptions(),
+        response_handler: Optional[ResponseHandler] = None,
+    ):
+        self._engine = engine
+        self._options = options
+        self._block_manager = engine.block_manager
+        self._response_handler = response_handler or ResponseHandler(
+            engine.tokenizer, threaded=False
+        )
+        self._intake: "queue.Queue[Request]" = queue.Queue(
+            maxsize=options.max_pending_requests
+        )
+        # Requests admitted and not yet finished, kept in priority order.
+        self._requests: List[Request] = []
+        self._pending = 0
+        self._pending_lock = threading.Lock()
+
+    # ---------------------------------------------------------------- intake
+
+    def schedule(self, request: Request) -> bool:
+        """Enqueue a request (reference: continuous_scheduler.cpp:93).
+        Returns False when the queue is full (RESOURCE_EXHAUSTED)."""
+        try:
+            self._intake.put_nowait(request)
+        except queue.Full:
+            return False
+        with self._pending_lock:
+            self._pending += 1
+        COUNTERS.inc("scheduling_pending_requests")
+        return True
+
+    @property
+    def num_pending_requests(self) -> int:
+        with self._pending_lock:
+            return self._pending
+
+    # ---------------------------------------------------------------- step
+
+    def step(self, timeout_s: float = 0.5) -> int:
+        """Build one batch, run the engine, deliver outputs.
+        Returns the number of sequences stepped."""
+        batch = self._build_batch(timeout_s)
+        if not batch.entries:
+            return 0
+        t0 = time.monotonic()
+        self._engine.execute_model(batch)
+        HISTOGRAMS.observe("execute_model_latency_seconds", time.monotonic() - t0)
+        self._process_outputs(batch)
+        return len(batch.entries)
+
+    def run_until_complete(self) -> None:
+        """Loop until all scheduled work is done
+        (reference: continuous_scheduler.cpp:397)."""
+        while True:
+            stepped = self.step(timeout_s=0.0)
+            if stepped == 0 and self.num_pending_requests == 0 and not self._requests:
+                break
+        self._response_handler.wait_for_complete()
+
+    # ---------------------------------------------------------------- build
+
+    def _drain_intake(self, timeout_s: float) -> None:
+        deadline = time.monotonic() + timeout_s
+        while True:
+            try:
+                req = self._intake.get_nowait()
+                self._requests.append(req)
+            except queue.Empty:
+                if self._requests or timeout_s <= 0:
+                    return
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    return
+                try:
+                    req = self._intake.get(timeout=min(remaining, 0.05))
+                    self._requests.append(req)
+                except queue.Empty:
+                    continue
+
+    def _finish_request(self, request: Request) -> None:
+        for seq in request.sequences:
+            self._block_manager.deallocate(seq)
+        self._response_handler.on_request_finish(request)
+        with self._pending_lock:
+            self._pending -= 1
+        COUNTERS.inc("responsing_rounds" if request.stream else "non_stream_responses")
+
+    def _build_batch(self, timeout_s: float) -> Batch:
+        t0 = time.monotonic()
+        self._drain_intake(timeout_s)
+        opts = self._options
+
+        # Priority then FCFS (reference: request.h:115-135 comparators).
+        self._requests.sort(key=lambda r: (int(r.priority), r.arrival_seq))
+
+        # Retire finished/cancelled requests; release their blocks.
+        live: List[Request] = []
+        for req in self._requests:
+            if req.is_finished():
+                self._finish_request(req)
+            else:
+                live.append(req)
+        self._requests = live
+
+        # Lazy n/best_of expansion once prefill KV exists
+        # (reference: continuous_scheduler.cpp:137-142).
+        for req in self._requests:
+            if req.should_expand_sequences():
+                req.expand_sequences()
+
+        batch = Batch()
+        token_budget = opts.max_tokens_per_batch
+        seq_budget = opts.max_seqs_per_batch
+        spec_overhead = opts.num_speculative_tokens
+
+        # Requests we may preempt, lowest priority last (iterate from the
+        # back). Only block-holding requests are preemption candidates.
+        candidates = self._requests
+
+        for req in candidates:
+            if token_budget <= 0 or seq_budget <= 0:
+                break
+            for seq in req.sequences:
+                if token_budget <= 0 or seq_budget <= 0:
+                    break
+                if seq.is_finished():
+                    continue
+                cached = seq.num_kv_cache_tokens()
+                uncached = seq.num_tokens - cached
+                if uncached <= 0:
+                    continue
+                # Chunked prefill: clamp to remaining token budget
+                # (reference: continuous_scheduler.cpp:163-175).
+                n = min(uncached, token_budget)
+                if n < uncached:
+                    # A partial chunk must still make progress; require at
+                    # least 1 token.
+                    if n <= 0:
+                        continue
+                # Reserve slots for this step (+ speculative budget on
+                # decode steps, reference: continuous_scheduler.cpp:443-475).
+                extra = spec_overhead if uncached == 1 else 0
+                target = cached + n + extra
+                if not self._allocate_with_preemption(req, seq, target, batch):
+                    # Out of memory even after preemption: this seq waits.
+                    continue
+                # A prefix-cache hit during allocation may have served part
+                # of the prompt from shared blocks — recompute the chunk.
+                cached = seq.num_kv_cache_tokens()
+                n = min(seq.num_tokens - cached, token_budget)
+                if n <= 0:
+                    continue
+                batch.add(seq, n)
+                token_budget -= n
+                seq_budget -= 1
+
+        GAUGES.set("num_running_requests", len(self._requests))
+        GAUGES.set(
+            "kv_cache_utilization_perc", self._block_manager.kv_cache_utilization
+        )
+        GAUGES.set(
+            "num_blocks_in_prefix_cache",
+            self._block_manager.num_blocks_in_prefix_cache,
+        )
+        HISTOGRAMS.observe(
+            "scheduling_latency_seconds", time.monotonic() - t0
+        )
+        return batch
+
+    def _allocate_with_preemption(
+        self, req: Request, seq, num_tokens: int, batch: Batch
+    ) -> bool:
+        """Allocate blocks, preempting lower-priority block holders if needed
+        (reference: continuous_scheduler.cpp:251-261)."""
+        if self._block_manager.allocate_blocks_for(seq, num_tokens):
+            return True
+        # Preempt from the lowest-priority end. Never preempt `req` itself or
+        # a request already scheduled into this step's batch.
+        in_batch = {id(e.seq) for e in batch.entries}
+        for victim in sorted(
+            self._requests,
+            key=lambda r: (int(r.priority), r.arrival_seq),
+            reverse=True,
+        ):
+            if victim is req:
+                continue
+            if any(id(s) in in_batch for s in victim.sequences):
+                continue
+            if not any(s.blocks for s in victim.sequences):
+                continue
+            self._preempt(victim)
+            COUNTERS.inc("num_preempted_requests")
+            if self._block_manager.allocate_blocks_for(seq, num_tokens):
+                return True
+        return self._block_manager.allocate_blocks_for(seq, num_tokens)
+
+    def _preempt(self, request: Request) -> None:
+        """Release all KV for the request; it will re-prefill later (prefix
+        cache may restore most of it)."""
+        for seq in request.sequences:
+            self._block_manager.deallocate(seq)
+
+    # ---------------------------------------------------------------- output
+
+    def _process_outputs(self, batch: Batch) -> None:
+        touched = []
+        seen = set()
+        for e in batch.entries:
+            # find owning request via sequence — map maintained on requests
+            pass
+        for req in self._requests:
+            if any(e.seq in req.sequences for e in batch.entries):
+                if id(req) not in seen:
+                    seen.add(id(req))
+                    touched.append(req)
+        for req in touched:
+            # Release blocks of finished sequences early
+            # (reference: build_sequence_batch releases finished seqs).
+            for seq in req.sequences:
+                if seq.is_finished() and seq.blocks:
+                    self._block_manager.deallocate(seq)
+            if req.is_finished():
+                self._requests.remove(req)
+                self._finish_request(req)
+            elif req.stream:
+                self._response_handler.on_request_stream(req)

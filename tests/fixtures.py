@@ -18,7 +18,7 @@ TINY_LLAMA_KW = dict(
 )
 
 
-def make_tiny_llama(dirpath: str, seed: int = 0, **overrides) -> str:
+def make_tiny_llama(dirpath: str, seed: int = 0, tokenizer: bool = False, **overrides) -> str:
     """Create a small random-weight HF llama checkpoint (float32)."""
     if os.path.exists(os.path.join(dirpath, "config.json")):
         return dirpath
@@ -33,4 +33,18 @@ def make_tiny_llama(dirpath: str, seed: int = 0, **overrides) -> str:
     model = model.to(torch.float32)
     os.makedirs(dirpath, exist_ok=True)
     model.save_pretrained(dirpath, safe_serialization=True)
+    if tokenizer:
+        save_char_tokenizer(dirpath)
     return dirpath
+
+
+def save_char_tokenizer(dirpath: str) -> None:
+    """Byte/char-level tokenizer.json: token id == ord(char), ids < 256.
+    Deterministic + round-trippable, so e2e tests need no HF downloads."""
+    from tokenizers import Tokenizer, decoders, models, pre_tokenizers
+
+    vocab = {chr(i): i for i in range(256)}
+    tok = Tokenizer(models.WordLevel(vocab, unk_token="\x00"))
+    tok.pre_tokenizer = pre_tokenizers.Split("", "isolated")
+    tok.decoder = decoders.Fuse()
+    tok.save(os.path.join(dirpath, "tokenizer.json"))

@@ -1,0 +1,117 @@
+"""End-to-end offline generation tests (mirrors reference tests/llm_test.py:
+greedy parity vs transformers, logprobs invariants, n/best_of)."""
+
+import numpy as np
+import pytest
+
+import tests.fixtures as fixtures
+
+
+@pytest.fixture(scope="module")
+def tiny_model(tmp_path_factory):
+    d = tmp_path_factory.mktemp("tiny_llama_tok")
+    return fixtures.make_tiny_llama(str(d), tokenizer=True)
+
+
+@pytest.fixture(scope="module")
+def llm(tiny_model):
+    from scalellm_tpu import LLM
+
+    llm = LLM(
+        tiny_model,
+        block_size=4,
+        num_blocks=512,
+        enable_cuda_graph=False,  # skip warmup compile in tests
+    )
+    # force f32 for parity with the float32 checkpoint
+    return llm
+
+
+def hf_greedy(tiny_model, prompt_ids, max_new):
+    import torch
+    from transformers import LlamaForCausalLM
+
+    model = LlamaForCausalLM.from_pretrained(tiny_model).eval()
+    with torch.no_grad():
+        out = model.generate(
+            torch.tensor([prompt_ids]),
+            max_new_tokens=max_new,
+            do_sample=False,
+            pad_token_id=0,
+        )
+    return out[0][len(prompt_ids):].tolist()
+
+
+def test_greedy_generate_matches_hf(tiny_model, llm):
+    from scalellm_tpu import SamplingParams
+
+    prompt = "hello world"
+    prompt_ids = [ord(c) for c in prompt]
+    expected = hf_greedy(tiny_model, prompt_ids, 8)
+
+    sp = SamplingParams(max_tokens=8, temperature=0.0, ignore_eos=True)
+    outs = llm.generate([prompt], sp)
+    assert len(outs) == 1
+    assert outs[0].finished
+    got = outs[0].outputs[0].token_ids
+    assert got == expected
+    assert outs[0].usage.num_prompt_tokens == len(prompt_ids)
+    assert outs[0].usage.num_generated_tokens == 8
+
+
+def test_batch_generate(tiny_model, llm):
+    from scalellm_tpu import SamplingParams
+
+    prompts = ["abc", "wxyz", "hello"]
+    sp = SamplingParams(max_tokens=4, temperature=0.0, ignore_eos=True)
+    outs = llm.generate(prompts, sp)
+    assert len(outs) == 3
+    for p, o in zip(prompts, outs):
+        assert o.prompt == p
+        assert o.usage.num_generated_tokens == 4
+        # each matches its own single-prompt HF generation
+        expected = hf_greedy(tiny_model, [ord(c) for c in p], 4)
+        assert o.outputs[0].token_ids == expected
+
+
+def test_logprobs_returned(tiny_model, llm):
+    from scalellm_tpu import SamplingParams
+
+    sp = SamplingParams(
+        max_tokens=4, temperature=0.0, ignore_eos=True,
+        logprobs=True, top_logprobs=3,
+    )
+    outs = llm.generate(["hi there"], sp)
+    lps = outs[0].outputs[0].logprobs
+    assert lps is not None and len(lps) == 4
+    for lp in lps:
+        assert lp.logprob <= 0.0
+        assert lp.top_logprobs is not None and len(lp.top_logprobs) == 3
+        # greedy: chosen token must be the top-1 alternative
+        assert lp.token_id == lp.top_logprobs[0].token_id
+
+
+def test_n_sequences(tiny_model, llm):
+    from scalellm_tpu import SamplingParams
+
+    sp = SamplingParams(max_tokens=3, temperature=0.0, ignore_eos=True, n=2)
+    outs = llm.generate(["abcd"], sp)
+    assert len(outs[0].outputs) == 2
+    # greedy: both sequences identical
+    assert outs[0].outputs[0].token_ids == outs[0].outputs[1].token_ids
+
+
+def test_stop_string(tiny_model, llm):
+    """Stop sequences end generation and are excluded from output."""
+    from scalellm_tpu import SamplingParams
+
+    # First figure out what greedy generates, then stop on its 3rd token.
+    sp = SamplingParams(max_tokens=6, temperature=0.0, ignore_eos=True)
+    base = llm.generate(["stop test"], sp)[0].outputs[0].token_ids
+    stop_char = chr(base[2])
+    sp2 = SamplingParams(
+        max_tokens=6, temperature=0.0, ignore_eos=True, stop=[stop_char]
+    )
+    out = llm.generate(["stop test"], sp2)[0].outputs[0]
+    assert out.token_ids == base[:2]
+    assert out.finish_reason is not None

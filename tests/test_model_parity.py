@@ -42,11 +42,16 @@ def build_model(tiny_llama):
 
 
 def make_inputs(token_ids, positions, token_seg, slot_ids, block_tables, kv_lens, selected):
+    import numpy as np_
     import jax.numpy as jnp
 
     from scalellm_tpu.engine.params import ModelInputs
 
     S = len(kv_lens)
+    # Tokens are laid out seq-contiguously; derive cu_q_lens from token_seg.
+    counts = np_.bincount(np_.asarray(token_seg), minlength=S)
+    cu = np_.zeros(S + 1, np_.int32)
+    cu[1:] = np_.cumsum(counts)
     return ModelInputs(
         token_ids=jnp.asarray(token_ids, dtype=jnp.int32),
         positions=jnp.asarray(positions, dtype=jnp.int32),
@@ -54,6 +59,8 @@ def make_inputs(token_ids, positions, token_seg, slot_ids, block_tables, kv_lens
         new_kv_slot_ids=jnp.asarray(slot_ids, dtype=jnp.int32),
         block_tables=jnp.asarray(block_tables, dtype=jnp.int32),
         kv_lens=jnp.asarray(kv_lens, dtype=jnp.int32),
+        cu_q_lens=jnp.asarray(cu, dtype=jnp.int32),
+        num_seqs=jnp.asarray([S], dtype=jnp.int32),
         selected_idxes=jnp.asarray(selected, dtype=jnp.int32),
         seq_mask=jnp.ones((S,), dtype=jnp.float32),
     )
@@ -63,7 +70,7 @@ def empty_kv(model, num_pages, page_size):
     import jax.numpy as jnp
 
     shape = model.kv_cache_shape(num_pages, page_size)
-    return jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32)
+    return jnp.zeros(shape, jnp.float32)
 
 
 def test_prefill_logits_match_hf(tiny_llama, hf_logits):
@@ -72,7 +79,7 @@ def test_prefill_logits_match_hf(tiny_llama, hf_logits):
     T = len(prompt)
     page_size = 4
     # seq uses blocks 1,2 (block 0 reserved for padding)
-    k_cache, v_cache = empty_kv(model, num_pages=4, page_size=page_size)
+    kv_cache = empty_kv(model, num_pages=4, page_size=page_size)
     slot_ids = [page_size * 1 + i for i in range(4)] + [page_size * 2 + i for i in range(4)]
     mi = make_inputs(
         token_ids=prompt,
@@ -83,7 +90,7 @@ def test_prefill_logits_match_hf(tiny_llama, hf_logits):
         kv_lens=[T],
         selected=[T - 1],
     )
-    hidden, k_cache, v_cache = model.forward(params, k_cache, v_cache, mi)
+    hidden, kv_cache = model.forward(params, kv_cache, mi)
     logits = np.asarray(model.logits(params, hidden))  # [1, V]
     np.testing.assert_allclose(logits[0], ref[-1], rtol=2e-4, atol=2e-4)
 
@@ -94,19 +101,19 @@ def test_decode_step_matches_full_prefill(tiny_llama, hf_logits):
     prompt, ref = hf_logits
     model, params, args = build_model(tiny_llama)
     page_size = 4
-    k_cache, v_cache = empty_kv(model, num_pages=4, page_size=page_size)
+    kv_cache = empty_kv(model, num_pages=4, page_size=page_size)
 
     # Prefill 7 tokens into blocks [1, 2].
     T0 = 7
     slot_ids = [4 + i for i in range(4)] + [8 + i for i in range(3)]
     mi = make_inputs(prompt[:T0], list(range(T0)), [0] * T0, slot_ids, [[1, 2]], [T0], [T0 - 1])
-    hidden, k_cache, v_cache = model.forward(params, k_cache, v_cache, mi)
+    hidden, kv_cache = model.forward(params, kv_cache, mi)
     logits7 = np.asarray(model.logits(params, hidden))
     np.testing.assert_allclose(logits7[0], ref[T0 - 1], rtol=2e-4, atol=2e-4)
 
     # Decode the 8th token (position 7) in slot 11.
     mi = make_inputs([prompt[7]], [7], [0], [11], [[1, 2]], [8], [0])
-    hidden, k_cache, v_cache = model.forward(params, k_cache, v_cache, mi)
+    hidden, kv_cache = model.forward(params, kv_cache, mi)
     logits8 = np.asarray(model.logits(params, hidden))
     np.testing.assert_allclose(logits8[0], ref[-1], rtol=2e-4, atol=2e-4)
 
@@ -125,7 +132,7 @@ def test_two_sequence_ragged_batch(tiny_llama, hf_logits):
 
     model, params, args = build_model(tiny_llama)
     page_size = 4
-    k_cache, v_cache = empty_kv(model, num_pages=8, page_size=page_size)
+    kv_cache = empty_kv(model, num_pages=8, page_size=page_size)
 
     T1, T2 = len(prompt), len(prompt2)
     token_ids = prompt + prompt2
@@ -137,7 +144,7 @@ def test_two_sequence_ragged_batch(tiny_llama, hf_logits):
         token_ids, positions, token_seg, slots,
         [[1, 2], [3, 4]], [T1, T2], [T1 - 1, T1 + T2 - 1],
     )
-    hidden, *_ = model.forward(params, k_cache, v_cache, mi)
+    hidden, _ = model.forward(params, kv_cache, mi)
     logits = np.asarray(model.logits(params, hidden))
     np.testing.assert_allclose(logits[0], ref[-1], rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(logits[1], ref2[-1], rtol=2e-4, atol=2e-4)

@@ -103,3 +103,26 @@ def test_evict_skips_in_use_blocks():
     for blk in a:
         blk.dec_ref()
     assert cache.evict(2) == 2
+
+
+def test_insert_divergent_block_same_first_token():
+    """Regression: two prompts whose blocks share a first token but diverge
+    mid-block ("o wo" vs "o ag") must not loop forever on insert."""
+    from scalellm_tpu.memory.block_allocator import BlockAllocator
+    from scalellm_tpu.memory.prefix_cache import PrefixCache
+
+    alloc = BlockAllocator(total_blocks=32, block_size=4)
+    cache = PrefixCache(4)
+    a = [ord(c) for c in "hello world 1234"]
+    b = [ord(c) for c in "hello again 5678"]
+    blocks_a = alloc.allocate_many(4)
+    blocks_b = alloc.allocate_many(4)
+    assert cache.insert(a, blocks_a) == 4
+    assert cache.insert(b, blocks_b) == 3  # shares the first block
+    m = cache.match(b[:12])
+    assert len(m) == 3  # "hell" (shared) + "o ag" + "ain "
+    assert m[0].id == blocks_a[0].id
+    assert m[1].id == blocks_b[1].id
+    assert m[2].id == blocks_b[2].id
+    for blk in m:
+        blk.dec_ref()
