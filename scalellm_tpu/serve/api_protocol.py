@@ -1,0 +1,219 @@
+"""OpenAI API request/response models.
+
+TPU-native equivalent of the reference's pydantic protocol models
+(reference: scalellm/serve/api_protocol.py, 201 LoC). Plain dataclasses +
+hand validation (no pydantic dependency in this environment); the JSON
+field names and shapes match the OpenAI API like the reference's.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import asdict, dataclass, field
+from typing import Any, Dict, List, Optional, Union
+
+from scalellm_tpu.errors import ValidationError
+from scalellm_tpu.request.output import StatusCode
+from scalellm_tpu.sampling.params import SamplingParams
+
+
+def _bad(msg: str):
+    raise ValidationError(StatusCode.INVALID_ARGUMENT, msg)
+
+
+def _get(d: Dict[str, Any], key: str, typ, default=None):
+    v = d.get(key, default)
+    if v is None:
+        return default
+    if typ is float and isinstance(v, int):
+        v = float(v)
+    if not isinstance(v, typ):
+        _bad(f"invalid type for {key!r}")
+    return v
+
+
+@dataclass
+class CompletionRequest:
+    """POST /v1/completions body (reference: api_protocol.py CompletionRequest)."""
+
+    model: str = ""
+    prompt: Union[str, List[str]] = ""
+    best_of: Optional[int] = None
+    echo: bool = False
+    frequency_penalty: float = 0.0
+    presence_penalty: float = 0.0
+    repetition_penalty: float = 1.0
+    logprobs: Optional[int] = None
+    max_tokens: int = 16
+    n: int = 1
+    seed: Optional[int] = None
+    stop: Optional[List[str]] = None
+    stop_token_ids: Optional[List[int]] = None
+    stream: bool = False
+    temperature: float = 1.0
+    top_p: float = 1.0
+    top_k: int = -1
+    user: Optional[str] = None
+    ignore_eos: bool = False
+    skip_special_tokens: bool = True
+
+    @classmethod
+    def from_json(cls, d: Dict[str, Any]) -> "CompletionRequest":
+        if not isinstance(d, dict):
+            _bad("request body must be a JSON object")
+        prompt = d.get("prompt", "")
+        if isinstance(prompt, list):
+            if not all(isinstance(p, str) for p in prompt):
+                _bad("prompt must be a string or list of strings")
+        elif not isinstance(prompt, str):
+            _bad("prompt must be a string or list of strings")
+        stop = d.get("stop")
+        if isinstance(stop, str):
+            stop = [stop]
+        return cls(
+            model=_get(d, "model", str, ""),
+            prompt=prompt,
+            best_of=_get(d, "best_of", int),
+            echo=_get(d, "echo", bool, False),
+            frequency_penalty=_get(d, "frequency_penalty", float, 0.0),
+            presence_penalty=_get(d, "presence_penalty", float, 0.0),
+            repetition_penalty=_get(d, "repetition_penalty", float, 1.0),
+            logprobs=_get(d, "logprobs", int),
+            max_tokens=_get(d, "max_tokens", int, 16),
+            n=_get(d, "n", int, 1),
+            seed=_get(d, "seed", int),
+            stop=stop,
+            stop_token_ids=d.get("stop_token_ids"),
+            stream=_get(d, "stream", bool, False),
+            temperature=_get(d, "temperature", float, 1.0),
+            top_p=_get(d, "top_p", float, 1.0),
+            top_k=_get(d, "top_k", int, -1),
+            user=_get(d, "user", str),
+            ignore_eos=_get(d, "ignore_eos", bool, False),
+            skip_special_tokens=_get(d, "skip_special_tokens", bool, True),
+        )
+
+    def to_sampling_params(self) -> SamplingParams:
+        sp = SamplingParams(
+            max_tokens=self.max_tokens,
+            n=self.n,
+            best_of=self.best_of,
+            echo=self.echo,
+            frequency_penalty=self.frequency_penalty,
+            presence_penalty=self.presence_penalty,
+            repetition_penalty=self.repetition_penalty,
+            temperature=self.temperature,
+            top_p=self.top_p,
+            top_k=self.top_k,
+            logprobs=self.logprobs is not None,
+            top_logprobs=self.logprobs or 0,
+            skip_special_tokens=self.skip_special_tokens,
+            ignore_eos=self.ignore_eos,
+            stop=self.stop,
+            stop_token_ids=self.stop_token_ids,
+            seed=self.seed,
+        )
+        return sp
+
+
+@dataclass
+class ChatCompletionRequest:
+    """POST /v1/chat/completions body
+    (reference: api_protocol.py ChatCompletionRequest)."""
+
+    model: str = ""
+    messages: List[Dict[str, str]] = field(default_factory=list)
+    frequency_penalty: float = 0.0
+    presence_penalty: float = 0.0
+    repetition_penalty: float = 1.0
+    logprobs: bool = False
+    top_logprobs: int = 0
+    max_tokens: int = 16
+    n: int = 1
+    seed: Optional[int] = None
+    stop: Optional[List[str]] = None
+    stop_token_ids: Optional[List[int]] = None
+    stream: bool = False
+    temperature: float = 0.7
+    top_p: float = 1.0
+    top_k: int = -1
+    user: Optional[str] = None
+    ignore_eos: bool = False
+    skip_special_tokens: bool = True
+
+    @classmethod
+    def from_json(cls, d: Dict[str, Any]) -> "ChatCompletionRequest":
+        if not isinstance(d, dict):
+            _bad("request body must be a JSON object")
+        messages = d.get("messages")
+        if not isinstance(messages, list) or not messages:
+            _bad("messages must be a non-empty list")
+        for m in messages:
+            if not isinstance(m, dict) or "role" not in m or "content" not in m:
+                _bad("each message needs 'role' and 'content'")
+        stop = d.get("stop")
+        if isinstance(stop, str):
+            stop = [stop]
+        return cls(
+            model=_get(d, "model", str, ""),
+            messages=messages,
+            frequency_penalty=_get(d, "frequency_penalty", float, 0.0),
+            presence_penalty=_get(d, "presence_penalty", float, 0.0),
+            repetition_penalty=_get(d, "repetition_penalty", float, 1.0),
+            logprobs=_get(d, "logprobs", bool, False),
+            top_logprobs=_get(d, "top_logprobs", int, 0),
+            max_tokens=_get(d, "max_tokens", int, 16),
+            n=_get(d, "n", int, 1),
+            seed=_get(d, "seed", int),
+            stop=stop,
+            stop_token_ids=d.get("stop_token_ids"),
+            stream=_get(d, "stream", bool, False),
+            temperature=_get(d, "temperature", float, 0.7),
+            top_p=_get(d, "top_p", float, 1.0),
+            top_k=_get(d, "top_k", int, -1),
+            user=_get(d, "user", str),
+            ignore_eos=_get(d, "ignore_eos", bool, False),
+            skip_special_tokens=_get(d, "skip_special_tokens", bool, True),
+        )
+
+    def to_sampling_params(self) -> SamplingParams:
+        return SamplingParams(
+            max_tokens=self.max_tokens,
+            n=self.n,
+            frequency_penalty=self.frequency_penalty,
+            presence_penalty=self.presence_penalty,
+            repetition_penalty=self.repetition_penalty,
+            temperature=self.temperature,
+            top_p=self.top_p,
+            top_k=self.top_k,
+            logprobs=self.logprobs,
+            top_logprobs=self.top_logprobs,
+            skip_special_tokens=self.skip_special_tokens,
+            ignore_eos=self.ignore_eos,
+            stop=self.stop,
+            stop_token_ids=self.stop_token_ids,
+            seed=self.seed,
+        )
+
+
+def now() -> int:
+    return int(time.time())
+
+
+def error_json(message: str, typ: str = "invalid_request_error", code: int = 400):
+    return {"error": {"message": message, "type": typ, "code": code}}
+
+
+def status_to_http(code: StatusCode) -> int:
+    """(reference: api_server.py ValidationError → HTTP mapping)"""
+    return {
+        StatusCode.OK: 200,
+        StatusCode.CANCELLED: 499,
+        StatusCode.UNKNOWN: 500,
+        StatusCode.INVALID_ARGUMENT: 400,
+        StatusCode.DEADLINE_EXCEEDED: 504,
+        StatusCode.RESOURCE_EXHAUSTED: 429,
+        StatusCode.UNAUTHENTICATED: 401,
+        StatusCode.UNAVAILABLE: 503,
+        StatusCode.UNIMPLEMENTED: 501,
+    }.get(code, 500)

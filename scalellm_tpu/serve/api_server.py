@@ -1,0 +1,194 @@
+"""OpenAI-compatible API server.
+
+TPU-native equivalent of the reference's FastAPI server
+(reference: scalellm/serve/api_server.py:29-164): /v1/completions,
+/v1/chat/completions (both with SSE streaming), /v1/models, /metrics,
+/health — served by the stdlib-asyncio HttpServer in serve/http.py.
+
+Run: python -m scalellm_tpu.serve.api_server --model <path> --port 8080
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import logging
+import signal
+import uuid
+from typing import Optional
+
+from scalellm_tpu.errors import ValidationError
+from scalellm_tpu.llm_engine import AsyncLLMEngine
+from scalellm_tpu.serve.api_protocol import (
+    ChatCompletionRequest,
+    CompletionRequest,
+    error_json,
+    now,
+    status_to_http,
+)
+from scalellm_tpu.serve.chat_handler import (
+    generate_chat_response,
+    generate_chat_stream,
+)
+from scalellm_tpu.serve.completion_handler import (
+    generate_completion_response,
+    generate_completion_stream,
+)
+from scalellm_tpu.serve.http import HttpServer, Request, Response, SSEResponse
+from scalellm_tpu.utils.metrics import export_prometheus
+
+logger = logging.getLogger(__name__)
+
+
+class ApiServer:
+    def __init__(self, engine: AsyncLLMEngine, model_name: str):
+        self.engine = engine
+        self.model_name = model_name
+        self.http = HttpServer()
+        self._register()
+
+    def _register(self):
+        http = self.http
+
+        @http.route("GET", "/health")
+        async def health(req: Request):
+            return Response.text("OK")
+
+        @http.route("GET", "/metrics")
+        async def metrics(req: Request):
+            return Response.text(export_prometheus(), content_type="text/plain; version=0.0.4")
+
+        @http.route("GET", "/v1/models")
+        async def models(req: Request):
+            return Response.json(
+                {
+                    "object": "list",
+                    "data": [
+                        {
+                            "id": self.model_name,
+                            "object": "model",
+                            "created": now(),
+                            "owned_by": "scalellm_tpu",
+                        }
+                    ],
+                }
+            )
+
+        @http.route("POST", "/v1/completions")
+        async def completions(req: Request):
+            try:
+                body = CompletionRequest.from_json(req.json())
+            except ValidationError as e:
+                return Response.json(error_json(e.message), status_to_http(e.code))
+            except Exception as e:
+                return Response.json(error_json(f"invalid JSON: {e}"), 400)
+            try:
+                if body.stream:
+                    sse = SSEResponse()
+                    asyncio.get_running_loop().create_task(
+                        generate_completion_stream(self.engine, body, self.model_name, sse)
+                    )
+                    return sse
+                return await generate_completion_response(
+                    self.engine, body, self.model_name
+                )
+            except ValidationError as e:
+                return Response.json(error_json(e.message), status_to_http(e.code))
+
+        @http.route("POST", "/v1/chat/completions")
+        async def chat(req: Request):
+            try:
+                body = ChatCompletionRequest.from_json(req.json())
+            except ValidationError as e:
+                return Response.json(error_json(e.message), status_to_http(e.code))
+            except Exception as e:
+                return Response.json(error_json(f"invalid JSON: {e}"), 400)
+            try:
+                if body.stream:
+                    sse = SSEResponse()
+                    asyncio.get_running_loop().create_task(
+                        generate_chat_stream(self.engine, body, self.model_name, sse)
+                    )
+                    return sse
+                return await generate_chat_response(self.engine, body, self.model_name)
+            except ValidationError as e:
+                return Response.json(error_json(e.message), status_to_http(e.code))
+
+    async def run(self, host: str, port: int):
+        self.engine.start()
+        await self.http.start(host, port)
+        logger.info("listening on %s:%d", host, port)
+        await self.http.serve_forever()
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    """(reference: scalellm/serve/server_args.py)"""
+    p = argparse.ArgumentParser(description="scalellm_tpu OpenAI-compatible server")
+    p.add_argument("--model", type=str, required=True, help="model folder path")
+    p.add_argument("--served-model-name", "--model-id", dest="model_id", type=str, default=None)
+    p.add_argument("--host", type=str, default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--block-size", type=int, default=16)
+    p.add_argument("--max-cache-size", type=int, default=0)
+    p.add_argument("--max-memory-utilization", type=float, default=0.9)
+    p.add_argument("--enable-prefix-cache", action="store_true", default=True)
+    p.add_argument("--disable-prefix-cache", dest="enable_prefix_cache", action="store_false")
+    p.add_argument("--enable-cuda-graph", action="store_true", default=True,
+                   help="warm up jit bucket cache at init (name kept for parity)")
+    p.add_argument("--disable-warmup", dest="enable_cuda_graph", action="store_false")
+    p.add_argument("--max-tokens-per-batch", type=int, default=512)
+    p.add_argument("--max-seqs-per-batch", type=int, default=128)
+    p.add_argument("--num-speculative-tokens", type=int, default=0)
+    p.add_argument("--draft-model", type=str, default=None)
+    p.add_argument("--num-handling-threads", type=int, default=4)
+    p.add_argument("--tp-size", type=int, default=1)
+    p.add_argument("--num-blocks", type=int, default=0)
+    return p
+
+
+def main(argv: Optional[list] = None):
+    logging.basicConfig(level=logging.INFO)
+    # This image's sitecustomize can programmatically force a TPU-tunnel
+    # platform; honor an explicit JAX_PLATFORMS request (e.g. cpu for tests).
+    import os
+
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+    args = build_arg_parser().parse_args(argv)
+    engine = AsyncLLMEngine(
+        model=args.model,
+        block_size=args.block_size,
+        max_cache_size=args.max_cache_size,
+        max_memory_utilization=args.max_memory_utilization,
+        enable_prefix_cache=args.enable_prefix_cache,
+        enable_cuda_graph=args.enable_cuda_graph,
+        max_tokens_per_batch=args.max_tokens_per_batch,
+        max_seqs_per_batch=args.max_seqs_per_batch,
+        num_speculative_tokens=args.num_speculative_tokens,
+        draft_model=args.draft_model,
+        num_handling_threads=args.num_handling_threads,
+        tp_size=args.tp_size,
+        num_blocks=args.num_blocks,
+    )
+    model_name = args.model_id or args.model.rstrip("/").split("/")[-1]
+    server = ApiServer(engine, model_name)
+
+    loop = asyncio.new_event_loop()
+    for sig in (signal.SIGINT, signal.SIGTERM):
+        try:
+            loop.add_signal_handler(sig, loop.stop)
+        except NotImplementedError:
+            pass
+    try:
+        loop.run_until_complete(server.run(args.host, args.port))
+    except (KeyboardInterrupt, RuntimeError):
+        pass
+    finally:
+        engine.stop()
+
+
+if __name__ == "__main__":
+    main()
