@@ -38,10 +38,14 @@ class ModelArgs:
     max_position_embeddings: int = 4096
     bos_token_id: int = 1
     eos_token_id: int = 2
+    # position embeddings: "rope" | "learned" | "none"
+    pos_embedding_type: str = "rope"
     # attention
     qkv_bias: bool = False
     o_proj_bias: bool = False
     mlp_bias: bool = False
+    # qwen3/gemma3-style per-head-dim RMS norms on q and k
+    use_qk_norm: bool = False
     attn_scalar: Optional[float] = None
     sliding_window: Optional[int] = None
     # gemma2-style: every other layer uses sliding window
@@ -50,11 +54,19 @@ class ModelArgs:
     final_logit_soft_cap: float = 0.0
     # embeddings
     tie_word_embeddings: bool = False
+    lm_head_bias: bool = False  # phi
     normalize_embedding: bool = False  # gemma: hidden *= sqrt(hidden_size)
+    # mlp: gated (gate*act(up)) or plain fc->act->proj
+    mlp_gated: bool = True
     # norms
     norm_type: str = "rms_norm"  # "rms_norm" | "layer_norm"
-    # gemma-style (1+w) rmsnorm weights
+    norm_bias: bool = False  # layer_norm bias (gpt2/phi)
+    # gemma2-style extra norms applied to block OUTPUTS before the residual
+    # add (post_attn_norm / post_ffw_norm)
     residual_post_layernorm: bool = False
+    # phi/gpt-neox-style parallel residual: h += attn(norm(h)) + mlp(norm(h))
+    parallel_residual: bool = False
+    # gemma-style (1+w) rmsnorm weights
     zero_centered_norm: bool = False
     # gemma2 extras
     query_pre_attn_scalar: float = 0.0

@@ -12,7 +12,8 @@ import jax.numpy as jnp
 
 ACT2FN = {
     "silu": jax.nn.silu,
-    "gelu": jax.nn.gelu,
+    # HF/torch "gelu" is the exact erf form; jax defaults to tanh-approx.
+    "gelu": lambda x: jax.nn.gelu(x, approximate=False),
     "gelu_fast": lambda x: jax.nn.gelu(x, approximate=True),
     "gelu_new": lambda x: jax.nn.gelu(x, approximate=True),
     "gelu_pytorch_tanh": lambda x: jax.nn.gelu(x, approximate=True),

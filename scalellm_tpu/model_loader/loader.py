@@ -113,6 +113,20 @@ class HFModelLoader:
 
         from safetensors import safe_open
 
+        def store(path, m, tensor):
+            if path == "lm_head" and args.tie_word_embeddings:
+                return
+            if path in kv_paths and kv_rep > 1:
+                tensor = self._replicate_kv_heads(tensor, kv_rep, args.head_dim)
+            ensure_buf(path)
+            if path.startswith("layers."):
+                layer = int(m.group(1))
+                bufs[path][layer] = tensor.astype(np_dtype, copy=False)
+                filled[path][layer] = True
+            else:
+                bufs[path][...] = tensor.astype(np_dtype, copy=False)
+                filled[path][0] = True
+
         for wf in self.weight_files:
             with safe_open(wf, framework="numpy") as f:
                 for name in f.keys():
@@ -125,21 +139,17 @@ class HFModelLoader:
                     if hit is None:
                         continue
                     m, path, transpose = hit
-                    if path == "lm_head" and args.tie_word_embeddings:
-                        continue
                     tensor = f.get_tensor(name)
                     if transpose:
                         tensor = tensor.T
-                    if path in kv_paths and kv_rep > 1:
-                        tensor = self._replicate_kv_heads(tensor, kv_rep, args.head_dim)
-                    ensure_buf(path)
-                    if path.startswith("layers."):
-                        layer = int(m.group(1))
-                        bufs[path][layer] = tensor.astype(np_dtype, copy=False)
-                        filled[path][layer] = True
+                    if isinstance(path, (tuple, list)):
+                        # Fused checkpoint tensor (e.g. gpt2 c_attn) → split
+                        # equally along the output dim into the listed params.
+                        pieces = np.split(tensor, len(path), axis=-1)
+                        for sub_path, piece in zip(path, pieces):
+                            store(sub_path, m, piece)
                     else:
-                        bufs[path][...] = tensor.astype(np_dtype, copy=False)
-                        filled[path][0] = True
+                        store(path, m, tensor)
 
         if verify:
             expected = _leaf_paths(shapes)

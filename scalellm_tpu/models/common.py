@@ -33,7 +33,7 @@ from jax.sharding import PartitionSpec as P
 
 from scalellm_tpu.config import ModelArgs
 from scalellm_tpu.engine.params import ModelInputs
-from scalellm_tpu.layers.activations import act_with_mul
+from scalellm_tpu.layers.activations import ACT2FN, act_with_mul
 from scalellm_tpu.layers.norms import layer_norm, rms_norm
 from scalellm_tpu.layers.rope import apply_rope, compute_cos_sin
 from scalellm_tpu.ops.attention import kernel_head_dim, ragged_paged_attention
@@ -82,53 +82,108 @@ class DecoderModel:
         L, D, V, F = a.n_layers, a.hidden_size, a.vocab_size, a.intermediate_size
         H, Dh = a.n_heads, a.head_dim
         Hkv = self.n_local_kv_heads * self.parallel.tp_size  # replication-padded
+        layers: Dict[str, Any] = {
+            "input_norm": (L, D),
+            "q_proj": (L, D, H * Dh),
+            "k_proj": (L, D, Hkv * Dh),
+            "v_proj": (L, D, Hkv * Dh),
+            "o_proj": (L, H * Dh, D),
+            "up_proj": (L, D, F),
+            "down_proj": (L, F, D),
+        }
+        if a.mlp_gated:
+            layers["gate_proj"] = (L, D, F)
+        if not a.parallel_residual:
+            layers["post_norm"] = (L, D)
+        if a.residual_post_layernorm:
+            layers["post_attn_norm"] = (L, D)
+            layers["post_ffw_norm"] = (L, D)
+        if a.qkv_bias:
+            layers["q_bias"] = (L, H * Dh)
+            layers["k_bias"] = (L, Hkv * Dh)
+            layers["v_bias"] = (L, Hkv * Dh)
+        if a.o_proj_bias:
+            layers["o_bias"] = (L, D)
+        if a.mlp_bias:
+            layers["up_bias"] = (L, F)
+            layers["down_bias"] = (L, D)
+            if a.mlp_gated:
+                layers["gate_bias"] = (L, F)
+        if a.norm_bias:
+            layers["input_norm_bias"] = (L, D)
+            if not a.parallel_residual:
+                layers["post_norm_bias"] = (L, D)
+        if a.use_qk_norm:
+            layers["q_norm"] = (L, Dh)
+            layers["k_norm"] = (L, Dh)
         shapes = {
             "embed_tokens": (V, D),
-            "layers": {
-                "input_norm": (L, D),
-                "q_proj": (L, D, H * Dh),
-                "k_proj": (L, D, Hkv * Dh),
-                "v_proj": (L, D, Hkv * Dh),
-                "o_proj": (L, H * Dh, D),
-                "post_norm": (L, D),
-                "gate_proj": (L, D, F),
-                "up_proj": (L, D, F),
-                "down_proj": (L, F, D),
-            },
+            "layers": layers,
             "final_norm": (D,),
         }
-        if a.qkv_bias:
-            shapes["layers"]["q_bias"] = (L, H * Dh)
-            shapes["layers"]["k_bias"] = (L, Hkv * Dh)
-            shapes["layers"]["v_bias"] = (L, Hkv * Dh)
+        if a.norm_bias:
+            shapes["final_norm_bias"] = (D,)
+        if a.pos_embedding_type == "learned":
+            shapes["embed_positions"] = (a.max_position_embeddings, D)
         if not a.tie_word_embeddings:
             shapes["lm_head"] = (D, V)
+            if a.lm_head_bias:
+                shapes["lm_head_bias"] = (V,)
         return shapes
 
     def param_partition_specs(self) -> Dict[str, Any]:
-        """PartitionSpec per param for the tp mesh axis (Megatron layout)."""
+        """PartitionSpec per param for the tp mesh axis (Megatron layout):
+        qkv/gate/up column-parallel (output dim sharded), o/down row-parallel
+        (input dim sharded, psum after), norms/embeddings replicated."""
         tp = self.parallel.tp_axis
+        a = self.args
+        layers: Dict[str, Any] = {
+            "input_norm": P(None, None),
+            "q_proj": P(None, None, tp),  # column-parallel
+            "k_proj": P(None, None, tp),
+            "v_proj": P(None, None, tp),
+            "o_proj": P(None, tp, None),  # row-parallel
+            "up_proj": P(None, None, tp),
+            "down_proj": P(None, tp, None),
+        }
+        if a.mlp_gated:
+            layers["gate_proj"] = P(None, None, tp)
+        if not a.parallel_residual:
+            layers["post_norm"] = P(None, None)
+        if a.residual_post_layernorm:
+            layers["post_attn_norm"] = P(None, None)
+            layers["post_ffw_norm"] = P(None, None)
+        if a.qkv_bias:
+            layers["q_bias"] = P(None, tp)
+            layers["k_bias"] = P(None, tp)
+            layers["v_bias"] = P(None, tp)
+        if a.o_proj_bias:
+            layers["o_bias"] = P(None, None)  # row-parallel bias: replicated
+        if a.mlp_bias:
+            layers["up_bias"] = P(None, tp)
+            layers["down_bias"] = P(None, None)
+            if a.mlp_gated:
+                layers["gate_bias"] = P(None, tp)
+        if a.norm_bias:
+            layers["input_norm_bias"] = P(None, None)
+            if not a.parallel_residual:
+                layers["post_norm_bias"] = P(None, None)
+        if a.use_qk_norm:
+            layers["q_norm"] = P(None, None)
+            layers["k_norm"] = P(None, None)
         specs = {
             "embed_tokens": P(None, None),  # replicated (allreduce-free)
-            "layers": {
-                "input_norm": P(None, None),
-                "q_proj": P(None, None, tp),  # column-parallel
-                "k_proj": P(None, None, tp),
-                "v_proj": P(None, None, tp),
-                "o_proj": P(None, tp, None),  # row-parallel
-                "post_norm": P(None, None),
-                "gate_proj": P(None, None, tp),
-                "up_proj": P(None, None, tp),
-                "down_proj": P(None, tp, None),
-            },
+            "layers": layers,
             "final_norm": P(None),
         }
-        if self.args.qkv_bias:
-            specs["layers"]["q_bias"] = P(None, tp)
-            specs["layers"]["k_bias"] = P(None, tp)
-            specs["layers"]["v_bias"] = P(None, tp)
-        if not self.args.tie_word_embeddings:
+        if a.norm_bias:
+            specs["final_norm_bias"] = P(None)
+        if a.pos_embedding_type == "learned":
+            specs["embed_positions"] = P(None, None)
+        if not a.tie_word_embeddings:
             specs["lm_head"] = P(None, tp)  # vocab-sharded, logits all-gathered
+            if a.lm_head_bias:
+                specs["lm_head_bias"] = P(tp)
         return specs
 
     def kv_cache_shape(self, num_pages: int, page_size: int) -> Tuple[int, ...]:
@@ -156,18 +211,19 @@ class DecoderModel:
         )
         # Norm weights should start at 1 (or 0 for zero-centered).
         one = 0.0 if self.args.zero_centered_norm else 1.0
-        params["layers"]["input_norm"] = jnp.full_like(params["layers"]["input_norm"], one)
-        params["layers"]["post_norm"] = jnp.full_like(params["layers"]["post_norm"], one)
+        for name in list(params["layers"]):
+            if name.endswith("_norm"):
+                params["layers"][name] = jnp.full_like(params["layers"][name], one)
         params["final_norm"] = jnp.full_like(params["final_norm"], one)
         return params
 
     # ------------------------------------------------------------ forward
 
-    def _norm(self, x, w):
+    def _norm(self, x, w, b=None):
         a = self.args
         if a.norm_type == "rms_norm":
             return rms_norm(x, w, a.rms_norm_eps, a.zero_centered_norm)
-        return layer_norm(x, w, None, a.layer_norm_eps)
+        return layer_norm(x, w, b, a.layer_norm_eps)
 
     def _sm_scale(self) -> float:
         a = self.args
@@ -210,8 +266,13 @@ class DecoderModel:
         h = params["embed_tokens"][mi.token_ids]  # [T, D]
         if a.normalize_embedding:
             h = (h.astype(jnp.float32) * math.sqrt(a.hidden_size)).astype(h.dtype)
+        if a.pos_embedding_type == "learned":
+            h = h + params["embed_positions"][mi.positions]
 
-        cos, sin = compute_cos_sin(a, mi.positions)
+        if a.pos_embedding_type == "rope":
+            cos, sin = compute_cos_sin(a, mi.positions)
+        else:
+            cos = sin = None
         windows = self._layer_windows()
         soft_cap = a.attn_logit_soft_cap if a.attn_logit_soft_cap > 0 else None
 
@@ -228,6 +289,25 @@ class DecoderModel:
                 logit_soft_cap=soft_cap,
             )
 
+        def mlp(lp, x):
+            u = jnp.dot(x, lp["up_proj"], preferred_element_type=jnp.float32)
+            if a.mlp_bias:
+                u = u + lp["up_bias"].astype(jnp.float32)
+            if a.mlp_gated:
+                g = jnp.dot(x, lp["gate_proj"], preferred_element_type=jnp.float32)
+                if a.mlp_bias:
+                    g = g + lp["gate_bias"].astype(jnp.float32)
+                m = act_with_mul(a.hidden_act, g, u).astype(x.dtype)
+            else:
+                m = ACT2FN[a.hidden_act](u).astype(x.dtype)
+            m = jnp.dot(m, lp["down_proj"], preferred_element_type=jnp.float32)
+            if tp_axis is not None:
+                m = lax.psum(m, tp_axis)
+            if a.mlp_bias:
+                # Row-parallel bias is added once, after the psum.
+                m = m + lp["down_bias"].astype(jnp.float32)
+            return m
+
         def layer_fn(carry, xs):
             h = carry
             if windows is None:
@@ -237,7 +317,7 @@ class DecoderModel:
                 lp, kvc, window_flag = xs
 
             # ---- attention
-            x = self._norm(h, lp["input_norm"])
+            x = self._norm(h, lp["input_norm"], lp.get("input_norm_bias"))
             q = jnp.dot(x, lp["q_proj"], preferred_element_type=jnp.float32)
             k = jnp.dot(x, lp["k_proj"], preferred_element_type=jnp.float32)
             v = jnp.dot(x, lp["v_proj"], preferred_element_type=jnp.float32)
@@ -249,8 +329,12 @@ class DecoderModel:
             q = q.astype(h.dtype).reshape(T, H_local, Dh)
             k = k.astype(h.dtype).reshape(T, Hkv_local, Dh)
             v = v.astype(h.dtype).reshape(T, Hkv_local, Dh)
-            q = apply_rope(q, cos, sin, a.interleaved_rope)
-            k = apply_rope(k, cos, sin, a.interleaved_rope)
+            if a.use_qk_norm:
+                q = rms_norm(q, lp["q_norm"], a.rms_norm_eps)
+                k = rms_norm(k, lp["k_norm"], a.rms_norm_eps)
+            if cos is not None:
+                q = apply_rope(q, cos, sin, a.interleaved_rope)
+                k = apply_rope(k, cos, sin, a.interleaved_rope)
 
             if self.kv_head_dim != Dh:
                 pad = [(0, 0), (0, 0), (0, self.kv_head_dim - Dh)]
@@ -282,16 +366,24 @@ class DecoderModel:
             )
             if tp_axis is not None:
                 o = lax.psum(o, tp_axis)
+            if a.o_proj_bias:
+                o = o + lp["o_bias"].astype(jnp.float32)
+
+            if a.parallel_residual:
+                # phi-style: attention and MLP both read the same normed x.
+                m = mlp(lp, x)
+                h = h + o.astype(h.dtype) + m.astype(h.dtype)
+                return h, kvc
+
+            if a.residual_post_layernorm:
+                o = self._norm(o.astype(h.dtype), lp["post_attn_norm"])
             h = h + o.astype(h.dtype)
 
             # ---- mlp
-            x = self._norm(h, lp["post_norm"])
-            g = jnp.dot(x, lp["gate_proj"], preferred_element_type=jnp.float32)
-            u = jnp.dot(x, lp["up_proj"], preferred_element_type=jnp.float32)
-            m = act_with_mul(a.hidden_act, g, u).astype(h.dtype)
-            m = jnp.dot(m, lp["down_proj"], preferred_element_type=jnp.float32)
-            if tp_axis is not None:
-                m = lax.psum(m, tp_axis)
+            x = self._norm(h, lp["post_norm"], lp.get("post_norm_bias"))
+            m = mlp(lp, x)
+            if a.residual_post_layernorm:
+                m = self._norm(m.astype(h.dtype), lp["post_ffw_norm"])
             h = h + m.astype(h.dtype)
             return h, kvc
 
@@ -300,7 +392,7 @@ class DecoderModel:
             xs = xs + (windows,)
         h, new_kv = lax.scan(layer_fn, h, xs)
 
-        h = self._norm(h, params["final_norm"])
+        h = self._norm(h, params["final_norm"], params.get("final_norm_bias"))
         hidden_sel = h[mi.selected_idxes]  # [S, D]
         return hidden_sel, new_kv
 
@@ -312,6 +404,8 @@ class DecoderModel:
             logits = jnp.dot(hidden, w, preferred_element_type=jnp.float32)
         else:
             logits = jnp.dot(hidden, params["lm_head"], preferred_element_type=jnp.float32)
+            if a.lm_head_bias:
+                logits = logits + params["lm_head_bias"].astype(jnp.float32)
             if self.parallel.tp_axis is not None:
                 logits = lax.all_gather(
                     logits, self.parallel.tp_axis, axis=1, tiled=True

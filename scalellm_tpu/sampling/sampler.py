@@ -25,7 +25,10 @@ import jax.numpy as jnp
 
 from scalellm_tpu.engine.params import ModelOutputs, SamplingInputs
 
-_NEG_INF = jnp.float32(-1e30)
+# Plain python float: a module-level jnp constant would initialize the JAX
+# backend at import time (and pin the constant to whatever device is default
+# then — on this image, the axon TPU tunnel).
+_NEG_INF = -1e30
 
 
 def apply_frequency_presence_penalties(
