@@ -84,8 +84,13 @@ class Batch:
         self,
         block_size: int,
         step_counter: int = 0,
+        selected_per_seq: int = 1,
     ) -> Tuple[ModelInputs, SamplingInputs, np.ndarray]:
         """Flatten the batch into padded arrays (reference: batch.cpp:77).
+
+        selected_per_seq > 1 selects the last r token positions of every
+        sequence (speculative validation needs logits at k+1 positions,
+        reference: speculative_engine.cpp:187 view({B, k+1, V})).
 
         Returns (model_inputs, sampling_inputs, needs_sample_mask[S] bool).
         Arrays are numpy; the executor device_puts them.
@@ -106,7 +111,8 @@ class Batch:
         block_tables = np.zeros((S, MAXP), dtype=np.int32)
         kv_lens = np.zeros(S, dtype=np.int32)
         cu_q_lens = np.zeros(S + 1, dtype=np.int32)
-        selected_idxes = np.zeros(S, dtype=np.int32)
+        r = selected_per_seq
+        selected_idxes = np.zeros(S * r, dtype=np.int32)
         seq_mask = np.zeros(S, dtype=np.float32)
         needs_sample = np.zeros(S, dtype=bool)
 
@@ -149,7 +155,12 @@ class Batch:
             block_tables[s, : len(bids)] = bids
             kv_lens[s] = end
             cu_q_lens[s + 1] = t + e.num_tokens
-            selected_idxes[s] = t + e.num_tokens - 1
+            assert e.num_tokens >= r or r == 1
+            selected_idxes[s * r : (s + 1) * r] = (
+                t + e.num_tokens - r + np.arange(r)
+                if r > 1
+                else t + e.num_tokens - 1
+            )
             seq_mask[s] = 1.0
             needs_sample[s] = e.needs_sample
 

@@ -50,11 +50,25 @@ class EngineOptions:
 
 
 class LLMEngine:
-    """(reference: src/engine/engine.h:10 Engine interface)"""
+    """(reference: src/engine/engine.h:10 Engine interface)
 
-    def __init__(self, options: EngineOptions, mesh=None):
+    extra_kv_slot_bytes / shared_block_manager support SpeculativeEngine
+    composition: the target engine's memory profile reserves room for the
+    draft's KV (reference: speculative_engine.cpp:140-159 shared-device KV
+    split), and the draft engine reuses the target's BlockManager so slot
+    ids map 1:1 across both caches.
+    """
+
+    def __init__(
+        self,
+        options: EngineOptions,
+        mesh=None,
+        extra_kv_slot_bytes: int = 0,
+        shared_block_manager=None,
+    ):
         self.options = options
         self.mesh = mesh
+        self._extra_kv_slot_bytes = extra_kv_slot_bytes
         t0 = time.monotonic()
 
         # ---- load model metadata (reference: llm_engine.cpp:133 init_model)
@@ -91,14 +105,18 @@ class LLMEngine:
         )
 
         # ---- size + allocate KV cache
-        num_blocks = options.num_blocks or self._profile_num_blocks()
-        self.block_manager = BlockManager(
-            BlockManagerOptions(
-                num_blocks=num_blocks,
-                block_size=options.block_size,
-                enable_prefix_cache=options.enable_prefix_cache,
+        if shared_block_manager is not None:
+            num_blocks = shared_block_manager.options.num_blocks
+            self.block_manager = shared_block_manager
+        else:
+            num_blocks = options.num_blocks or self._profile_num_blocks()
+            self.block_manager = BlockManager(
+                BlockManagerOptions(
+                    num_blocks=num_blocks,
+                    block_size=options.block_size,
+                    enable_prefix_cache=options.enable_prefix_cache,
+                )
             )
-        )
         self.executor.init_kv_cache(num_blocks, options.block_size)
         logger.info(
             "kv cache: %d blocks x %d slots (%.2f GiB)",
@@ -129,7 +147,7 @@ class LLMEngine:
         import jax
 
         opts = self.options
-        slot_bytes = self.kv_cache_slot_size_in_bytes()
+        slot_bytes = self.kv_cache_slot_size_in_bytes() + self._extra_kv_slot_bytes
         block_bytes = slot_bytes * opts.block_size
 
         if opts.max_cache_size > 0:

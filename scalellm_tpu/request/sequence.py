@@ -141,15 +141,24 @@ class Sequence:
             accepted.append(int(tid))
         assert accepted, "at least one token must be accepted"
 
-        # Remove the draft tail from counts, then re-append accepted tokens.
+        # Remove the draft tail from counts, then re-append accepted tokens,
+        # stopping at the first token that finishes the sequence (an accepted
+        # eos/stop mid-row must truncate the rest — reference: sequence.cpp:92
+        # checks finish per appended token).
         for tid in self._token_ids[base_len:]:
             self._token_counts[tid] -= 1
             if self._token_counts[tid] == 0:
                 del self._token_counts[tid]
         del self._token_ids[base_len:]
+        appended: List[int] = []
         for tid in accepted:
             self._token_ids.append(tid)
             self._token_counts[tid] = self._token_counts.get(tid, 0) + 1
+            appended.append(tid)
+            self._finish_state_valid = False
+            if self.finish_reason() != FinishReason.NONE:
+                break
+        accepted = appended
 
         # Rewind KV counters: KV beyond the accepted prefix is stale. The KV
         # for a token at position i is valid only if token i is kept; the last

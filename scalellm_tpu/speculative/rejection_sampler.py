@@ -1,0 +1,93 @@
+"""Batched rejection sampling for speculative decoding, fully jittable.
+
+TPU-native equivalent of the reference's RejectionSampler
+(reference: src/speculative/rejection_sampler.h:9-63, build_accepted_mask
+at :35). Given k draft tokens + probs and the target model's k+1
+distributions, produces per-sequence accepted tokens [S, k+1] padded with
+-1 after the first rejection:
+
+  - position i < r (first rejection): the accepted draft token
+  - position r < k: a token resampled from normalize(max(p_target - p_draft, 0))
+  - position k (all drafts accepted): a bonus token from the target's last
+    distribution
+  - greedy sequences (do_sample False) accept iff draft == argmax(target)
+
+The scheduler/sequence layer consumes the -1-padded rows via
+Sequence.validate_tokens (reference: sequence.cpp:92).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-10
+
+
+def rejection_sample(
+    draft_ids: jnp.ndarray,  # i32[S, k]
+    draft_probs: jnp.ndarray,  # f32[S, k, V]
+    target_probs: jnp.ndarray,  # f32[S, k+1, V]
+    do_sample: jnp.ndarray,  # bool[S]
+    seeds: jnp.ndarray,  # u32[S]
+) -> jnp.ndarray:
+    """Returns accepted token ids i32[S, k+1], -1 padded."""
+    S, k = draft_ids.shape
+    V = target_probs.shape[-1]
+
+    p_tgt_k = target_probs[:, :k, :]  # [S, k, V]
+    idx = draft_ids[..., None]
+    p_t = jnp.take_along_axis(p_tgt_k, idx, axis=-1).squeeze(-1)  # [S, k]
+    p_d = jnp.take_along_axis(draft_probs, idx, axis=-1).squeeze(-1)
+
+    def key_for(s, tag):
+        return jax.random.fold_in(jax.random.fold_in(jax.random.PRNGKey(7), s), tag)
+
+    keys = jax.vmap(lambda s: key_for(s, 0))(seeds)
+    u = jax.vmap(lambda kk: jax.random.uniform(kk, (k,)))(keys)  # [S, k]
+    accept_random = u < (p_t / jnp.maximum(p_d, _EPS))
+    accept_greedy = draft_ids == jnp.argmax(p_tgt_k, axis=-1)
+    accepted = jnp.where(do_sample[:, None], accept_random, accept_greedy)  # [S, k]
+
+    # Index of the first rejection; k when all accepted.
+    acc_prefix = jnp.cumprod(accepted.astype(jnp.int32), axis=-1)  # [S, k]
+    r = jnp.sum(acc_prefix, axis=-1)  # [S] in [0, k]
+
+    # Recovery distribution at every draft position: max(p_t - p_d, 0).
+    adjusted = jnp.maximum(p_tgt_k - draft_probs, 0.0)
+    adjusted = adjusted / jnp.maximum(
+        jnp.sum(adjusted, axis=-1, keepdims=True), _EPS
+    )
+
+    res_keys = jax.vmap(lambda s: key_for(s, 1))(seeds)
+
+    def sample_rows(kk, probs, sample_flag):
+        # probs [k+1?, V] — gumbel-max per row; greedy = argmax
+        g = jax.random.gumbel(kk, probs.shape, dtype=jnp.float32)
+        rand = jnp.argmax(jnp.log(jnp.maximum(probs, _EPS)) + g, axis=-1)
+        greedy = jnp.argmax(probs, axis=-1)
+        return jnp.where(sample_flag, rand, greedy)
+
+    resampled = jax.vmap(sample_rows)(res_keys, adjusted, do_sample)  # [S, k]
+    bonus_keys = jax.vmap(lambda s: key_for(s, 2))(seeds)
+    bonus = jax.vmap(
+        lambda kk, p, f: sample_rows(kk, p[None, :], f)[0]
+    )(bonus_keys, target_probs[:, k, :], do_sample)  # [S]
+
+    # Assemble [S, k+1]: draft ids where i < r; at i == r the replacement
+    # (resampled if r < k else bonus); -1 beyond.
+    pos = jnp.arange(k + 1, dtype=jnp.int32)[None, :]  # [1, k+1]
+    r_col = r[:, None]
+    draft_padded = jnp.concatenate(
+        [draft_ids, jnp.zeros((S, 1), draft_ids.dtype)], axis=-1
+    )
+    replacement = jnp.where(
+        r < k,
+        jnp.take_along_axis(
+            resampled, jnp.minimum(r, k - 1)[:, None], axis=-1
+        ).squeeze(-1),
+        bonus,
+    )  # [S]
+    out = jnp.where(pos < r_col, draft_padded, -1)
+    out = jnp.where(pos == r_col, replacement[:, None], out)
+    return out.astype(jnp.int32)

@@ -1,0 +1,108 @@
+"""Speculative decoding tests (mirrors the reference's
+rejection_sampler_test.cpp + speculative engine behavior)."""
+
+import numpy as np
+import pytest
+
+import tests.fixtures as fixtures
+
+
+# ---------------------------------------------------------------- sampler
+
+
+def test_rejection_sampler_greedy_accepts_matching():
+    from scalellm_tpu.speculative.rejection_sampler import rejection_sample
+
+    S, k, V = 2, 3, 8
+    rng = np.random.default_rng(0)
+    target = rng.random((S, k + 1, V)).astype(np.float32)
+    target /= target.sum(-1, keepdims=True)
+    tgt_argmax = target[:, :k].argmax(-1)
+
+    # seq 0: drafts all match argmax -> all accepted + bonus
+    # seq 1: first draft wrong -> resample at 0
+    draft_ids = tgt_argmax.copy()
+    draft_ids[1, 0] = (tgt_argmax[1, 0] + 1) % V
+    draft_probs = np.full((S, k, V), 1.0 / V, np.float32)
+
+    out = np.asarray(
+        rejection_sample(
+            draft_ids.astype(np.int32),
+            draft_probs,
+            target,
+            np.zeros(S, bool),
+            np.arange(S, dtype=np.uint32),
+        )
+    )
+    # seq 0: k accepted + bonus (bonus = argmax of last target distribution)
+    assert list(out[0, :k]) == list(tgt_argmax[0])
+    assert out[0, k] == target[0, k].argmax()
+    # seq 1: rejected at 0 -> resampled token (greedy = argmax of adjusted
+    # distribution) then -1 padding
+    assert out[1, 0] == np.maximum(target[1, 0] - draft_probs[1, 0], 0).argmax()
+    assert all(out[1, 1:] == -1)
+
+
+def test_rejection_sampler_random_statistics():
+    """With draft == target distribution, acceptance probability is ~1."""
+    from scalellm_tpu.speculative.rejection_sampler import rejection_sample
+
+    S, k, V = 256, 2, 4
+    rng = np.random.default_rng(1)
+    p = rng.random((V,)).astype(np.float32)
+    p /= p.sum()
+    target = np.tile(p, (S, k + 1, 1))
+    draft_probs = np.tile(p, (S, k, 1))
+    draft_ids = rng.integers(0, V, (S, k)).astype(np.int32)
+
+    out = np.asarray(
+        rejection_sample(
+            draft_ids, draft_probs, target,
+            np.ones(S, bool), np.arange(S, dtype=np.uint32),
+        )
+    )
+    accept_frac = (out[:, :k] == draft_ids).mean()
+    assert accept_frac > 0.95  # identical distributions accept w.p. 1
+
+
+# ---------------------------------------------------------------- engine
+
+
+@pytest.fixture(scope="module")
+def tiny_model(tmp_path_factory):
+    d = tmp_path_factory.mktemp("tiny_llama_spec")
+    return fixtures.make_tiny_llama(str(d), tokenizer=True)
+
+
+def test_speculative_greedy_matches_plain(tiny_model):
+    """Draft == target + greedy: every draft is accepted and the output
+    must equal non-speculative greedy decoding."""
+    from scalellm_tpu import LLM, SamplingParams
+
+    sp = SamplingParams(max_tokens=12, temperature=0.0, ignore_eos=True)
+
+    plain = LLM(
+        tiny_model, block_size=4, num_blocks=256, enable_cuda_graph=False
+    )
+    expected = plain.generate(["hello world"], sp)[0].outputs[0].token_ids
+    del plain
+
+    spec = LLM(
+        tiny_model,
+        draft_model=tiny_model,
+        num_speculative_tokens=3,
+        block_size=4,
+        num_blocks=256,
+        enable_cuda_graph=False,
+    )
+    out = spec.generate(["hello world"], sp)[0]
+    assert out.outputs[0].token_ids == expected
+    assert out.usage.num_generated_tokens == 12
+
+    # acceptance counters: identical models accept every draft
+    from scalellm_tpu.utils.metrics import COUNTERS
+
+    drafted = COUNTERS.get("num_draft_tokens_total")
+    accepted = COUNTERS.get("num_accepted_tokens_total")
+    assert drafted > 0
+    assert accepted >= drafted  # k accepted + bonus each step
