@@ -1,14 +1,17 @@
 """Benchmark driver entry: prints ONE JSON line with the headline metric.
 
-Round-1 headline: decode tokens/s on a TinyLlama-1.1B-shaped bf16 model,
-batch=1 (BASELINE.json configs[0]). Weights are random-initialized (no
-network egress); decode runs as a device-side lax.scan autoregressive loop
-(sampled token feeds back as the next input) so host↔device round-trips
-don't pollute the measurement.
+Headline: decode tokens/s on a Llama-3.1-8B-shaped INT4 (group-128) model,
+batch=1 — BASELINE.json's north-star config, running the fused
+dequant+matmul Pallas kernel (ops/quant_matmul.py) and the ragged paged
+attention kernel. A TinyLlama-1.1B bf16 preset (configs[0]) is also
+measured and reported on stderr. Weights are random-initialized (no network
+egress); decode runs as a device-side lax.scan autoregressive loop (sampled
+token feeds back as the next input) so host↔device round-trips don't
+pollute the measurement.
 
 vs_baseline compares against the HBM-bandwidth roofline for batch-1 decode:
 every step must stream all weights from HBM once, so
-  roofline tokens/s = HBM_BW / param_bytes.
+  roofline tokens/s = HBM_BW / bytes(weights + scales).
 """
 
 from __future__ import annotations
@@ -23,7 +26,23 @@ def build_model(preset: str):
     from scalellm_tpu.models.common import DecoderModel
     from scalellm_tpu.parallel.config import ParallelConfig
 
-    if preset == "tinyllama-1.1b":
+    if preset == "llama31-8b-int4":
+        from scalellm_tpu.config import QuantArgs
+
+        args = ModelArgs(
+            model_type="llama",
+            dtype="bfloat16",
+            hidden_size=4096,
+            intermediate_size=14336,
+            n_layers=32,
+            n_heads=32,
+            n_kv_heads=8,
+            vocab_size=128256,
+            max_position_embeddings=4096,
+            rope_theta=500000.0,
+            quant_args=QuantArgs(quant_method="gptq", bits=4, group_size=128),
+        )
+    elif preset == "tinyllama-1.1b":
         args = ModelArgs(
             model_type="llama",
             dtype="bfloat16",
@@ -53,22 +72,29 @@ def build_model(preset: str):
 
 
 def param_bytes(model) -> int:
+    """Bytes streamed from HBM per decode step (all weights once)."""
     import numpy as np
 
     total = 0
-    leaves = []
+    float_itemsize = 2 if model.args.dtype in ("bfloat16", "float16") else 4
 
-    def walk(node):
-        for v in node.values():
+    def walk(node, name=""):
+        nonlocal total
+        for k, v in node.items():
             if isinstance(v, dict):
-                walk(v)
+                walk(v, k)
             else:
-                leaves.append(v)
+                itemsize = (
+                    1 if k in ("qweight", "zeros")
+                    else 4 if k == "scales"
+                    else float_itemsize
+                )
+                if k == "embed_tokens" and not model.args.tie_word_embeddings:
+                    # decode reads one embedding row, not the whole table
+                    continue
+                total += int(np.prod(v)) * itemsize
 
     walk(model.param_shapes())
-    itemsize = 2 if model.args.dtype in ("bfloat16", "float16") else 4
-    for s in leaves:
-        total += int(np.prod(s)) * itemsize
     return total
 
 
@@ -153,23 +179,25 @@ def main():
 
     platform = jax.devices()[0].platform
     on_tpu = platform == "tpu"
-    preset = "tinyllama-1.1b" if on_tpu else "tiny"
     batch = 1
     steps = 64 if on_tpu else 8
-
-    toks_per_s, model = run_decode_bench(preset, batch, steps)
-
-    pbytes = param_bytes(model)
     # v5e HBM bandwidth ~819 GB/s; CPU number is meaningless but nonzero.
     hbm_bw = 819e9 if on_tpu else 50e9
-    roofline = hbm_bw / pbytes
-    result = {
-        "metric": f"decode_tokens_per_s_{preset}_b{batch}",
-        "value": round(toks_per_s, 2),
-        "unit": "tokens/s",
-        "vs_baseline": round(toks_per_s / roofline, 4),
-    }
-    print(json.dumps(result))
+
+    presets = ["tinyllama-1.1b", "llama31-8b-int4"] if on_tpu else ["tiny"]
+    headline = None
+    for preset in presets:
+        toks_per_s, model = run_decode_bench(preset, batch, steps)
+        roofline = hbm_bw / param_bytes(model)
+        result = {
+            "metric": f"decode_tokens_per_s_{preset}_b{batch}",
+            "value": round(toks_per_s, 2),
+            "unit": "tokens/s",
+            "vs_baseline": round(toks_per_s / roofline, 4),
+        }
+        headline = result
+        print(json.dumps(result), file=sys.stderr)
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

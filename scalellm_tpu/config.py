@@ -78,6 +78,9 @@ class ModelArgs:
     norm_topk_prob: bool = False
     # misc
     stop_token_ids: List[int] = field(default_factory=list)
+    # weight-only quantization (set by HFModelLoader when the checkpoint
+    # carries a quantization_config; see QuantArgs below)
+    quant_args: Optional["QuantArgs"] = None
     # raw HF config for model-specific extras
     raw: Dict[str, Any] = field(default_factory=dict)
 
@@ -136,3 +139,8 @@ class TokenizerArgs:
     chat_template: Optional[str] = None
     prefix_tokens: List[str] = field(default_factory=list)
     special_tokens: List[str] = field(default_factory=list)
+
+
+def hf_dtype(cfg, default="bfloat16"):
+    """transformers ≥4.56 writes "dtype"; older configs "torch_dtype"."""
+    return cfg.get("torch_dtype") or cfg.get("dtype") or default

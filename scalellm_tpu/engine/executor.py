@@ -49,18 +49,27 @@ class Executor:
             model.args.dtype
         ]
 
+        def to_dtype(x):
+            x = jnp.asarray(x)
+            # Quantized params (int8 qweights/zeros) and scales keep their
+            # storage dtype; only activations-dtype floats are cast.
+            if jnp.issubdtype(x.dtype, jnp.integer):
+                return x
+            if x.dtype == jnp.float32 and dtype != jnp.float32:
+                return x.astype(dtype)
+            return x.astype(dtype) if x.dtype != dtype else x
+
         if mesh is not None:
             specs = model.param_partition_specs()
             self.params = jax.tree_util.tree_map_with_path(
                 lambda path, x: jax.device_put(
-                    jnp.asarray(x, dtype=dtype),
-                    NamedSharding(mesh, _spec_at(specs, path)),
+                    to_dtype(x), NamedSharding(mesh, _spec_at(specs, path))
                 ),
                 params,
             )
         else:
             self.params = jax.tree_util.tree_map(
-                lambda x: jax.device_put(jnp.asarray(x, dtype=dtype)), params
+                lambda x: jax.device_put(to_dtype(x)), params
             )
         self.kv_cache = None
         self._kv_dtype = dtype

@@ -54,6 +54,7 @@ class HFModelLoader:
                     qcfg["quantization_config"] = json.load(f)
                 break
         self.quant_args = QuantArgs.from_hf_config(qcfg)
+        self.model_args.quant_args = self.quant_args if self.quant_args.enabled else None
 
         self.tokenizer_args = self._load_tokenizer_args()
 
@@ -83,8 +84,16 @@ class HFModelLoader:
         """Load weights into the model's stacked param layout (numpy pytree;
         device placement is the executor's job)."""
         args = self.model_args
-        rules: List[Tuple[str, str, bool]] = model.hf_weight_rules
-        compiled = [(re.compile(rx + r"$"), path, transpose) for rx, path, transpose in rules]
+        rules: List[Tuple] = list(model.hf_weight_rules)
+        if self.quant_args.enabled:
+            from scalellm_tpu.quantization.linear import build_quant_rules
+
+            rules = build_quant_rules(rules, self.quant_args)
+        compiled = []
+        for rule in rules:
+            rx, path, transpose = rule[:3]
+            transform = rule[3] if len(rule) > 3 else None
+            compiled.append((re.compile(rx + r"$"), path, transpose, transform))
 
         shapes = model.param_shapes()
         import ml_dtypes
@@ -98,13 +107,21 @@ class HFModelLoader:
         bufs: Dict[str, np.ndarray] = {}
         filled: Dict[str, np.ndarray] = {}  # path -> bool mask over layer dim
 
+        def leaf_dtype(path: str):
+            leaf = path.rsplit(".", 1)[-1]
+            if leaf in ("qweight", "zeros"):
+                return np.int8
+            if leaf == "scales":
+                return np.float32
+            return np_dtype
+
         def ensure_buf(path: str):
             if path in bufs:
                 return
             node = shapes
             for part in path.split("."):
                 node = node[part]
-            bufs[path] = np.zeros(node, dtype=np_dtype)
+            bufs[path] = np.zeros(node, dtype=leaf_dtype(path))
             n_layers = node[0] if path.startswith("layers.") else 1
             filled[path] = np.zeros(n_layers, dtype=bool)
 
@@ -116,32 +133,35 @@ class HFModelLoader:
         def store(path, m, tensor):
             if path == "lm_head" and args.tie_word_embeddings:
                 return
-            if path in kv_paths and kv_rep > 1:
+            if any(path.startswith(kp) for kp in kv_paths) and kv_rep > 1:
                 tensor = self._replicate_kv_heads(tensor, kv_rep, args.head_dim)
             ensure_buf(path)
+            dt = leaf_dtype(path)
             if path.startswith("layers."):
                 layer = int(m.group(1))
-                bufs[path][layer] = tensor.astype(np_dtype, copy=False)
+                bufs[path][layer] = tensor.astype(dt, copy=False)
                 filled[path][layer] = True
             else:
-                bufs[path][...] = tensor.astype(np_dtype, copy=False)
+                bufs[path][...] = tensor.astype(dt, copy=False)
                 filled[path][0] = True
 
         for wf in self.weight_files:
             with safe_open(wf, framework="numpy") as f:
                 for name in f.keys():
                     hit = None
-                    for rx, path, transpose in compiled:
+                    for rx, path, transpose, transform in compiled:
                         m = rx.match(name)
                         if m:
-                            hit = (m, path, transpose)
+                            hit = (m, path, transpose, transform)
                             break
                     if hit is None:
                         continue
-                    m, path, transpose = hit
+                    m, path, transpose, transform = hit
                     tensor = f.get_tensor(name)
                     if transpose:
                         tensor = tensor.T
+                    if transform is not None:
+                        tensor = transform(tensor)
                     if isinstance(path, (tuple, list)):
                         # Fused checkpoint tensor (e.g. gpt2 c_attn) → split
                         # equally along the output dim into the listed params.

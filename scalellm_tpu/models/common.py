@@ -73,6 +73,11 @@ class DecoderModel:
         # KV pages may store zero-padded heads when the attention backend
         # needs a wider lane-aligned head dim (TPU kernel: multiples of 128).
         self.kv_head_dim = kernel_head_dim(args.head_dim)
+        # Weight-only quantization of the 7 projection matrices
+        # (reference: QLinearImpl selection by QuantArgs, quant_args.h:10-33).
+        self.quant = args.quant_args if (args.quant_args and args.quant_args.enabled) else None
+        if self.quant:
+            assert self.quant.bits in (4, 8), self.quant.bits
 
     # ------------------------------------------------------------ param spec
 
@@ -82,17 +87,29 @@ class DecoderModel:
         L, D, V, F = a.n_layers, a.hidden_size, a.vocab_size, a.intermediate_size
         H, Dh = a.n_heads, a.head_dim
         Hkv = self.n_local_kv_heads * self.parallel.tp_size  # replication-padded
+        def proj(k_dim, n_dim):
+            """Dense (L, K, N) or the quantized triple for one projection."""
+            if self.quant is None:
+                return (L, k_dim, n_dim)
+            g = self.quant.group_size if self.quant.group_size > 0 else k_dim
+            pack = 2 if self.quant.bits == 4 else 1
+            return {
+                "qweight": (L, k_dim // pack, n_dim),
+                "scales": (L, k_dim // g, n_dim),
+                "zeros": (L, k_dim // g, n_dim),
+            }
+
         layers: Dict[str, Any] = {
             "input_norm": (L, D),
-            "q_proj": (L, D, H * Dh),
-            "k_proj": (L, D, Hkv * Dh),
-            "v_proj": (L, D, Hkv * Dh),
-            "o_proj": (L, H * Dh, D),
-            "up_proj": (L, D, F),
-            "down_proj": (L, F, D),
+            "q_proj": proj(D, H * Dh),
+            "k_proj": proj(D, Hkv * Dh),
+            "v_proj": proj(D, Hkv * Dh),
+            "o_proj": proj(H * Dh, D),
+            "up_proj": proj(D, F),
+            "down_proj": proj(F, D),
         }
         if a.mlp_gated:
-            layers["gate_proj"] = (L, D, F)
+            layers["gate_proj"] = proj(D, F)
         if not a.parallel_residual:
             layers["post_norm"] = (L, D)
         if a.residual_post_layernorm:
@@ -137,17 +154,35 @@ class DecoderModel:
         (input dim sharded, psum after), norms/embeddings replicated."""
         tp = self.parallel.tp_axis
         a = self.args
+        def proj_spec(row_parallel: bool):
+            """Column-parallel shards the N dim (last); row-parallel shards
+            the K dim — for quantized params that is dim 1 of qweight AND of
+            the per-group scales/zeros."""
+            if self.quant is None:
+                return P(None, tp, None) if row_parallel else P(None, None, tp)
+            if row_parallel:
+                return {
+                    "qweight": P(None, tp, None),
+                    "scales": P(None, tp, None),
+                    "zeros": P(None, tp, None),
+                }
+            return {
+                "qweight": P(None, None, tp),
+                "scales": P(None, None, tp),
+                "zeros": P(None, None, tp),
+            }
+
         layers: Dict[str, Any] = {
             "input_norm": P(None, None),
-            "q_proj": P(None, None, tp),  # column-parallel
-            "k_proj": P(None, None, tp),
-            "v_proj": P(None, None, tp),
-            "o_proj": P(None, tp, None),  # row-parallel
-            "up_proj": P(None, None, tp),
-            "down_proj": P(None, tp, None),
+            "q_proj": proj_spec(False),  # column-parallel
+            "k_proj": proj_spec(False),
+            "v_proj": proj_spec(False),
+            "o_proj": proj_spec(True),  # row-parallel
+            "up_proj": proj_spec(False),
+            "down_proj": proj_spec(True),
         }
         if a.mlp_gated:
-            layers["gate_proj"] = P(None, None, tp)
+            layers["gate_proj"] = proj_spec(False)
         if not a.parallel_residual:
             layers["post_norm"] = P(None, None)
         if a.residual_post_layernorm:
@@ -197,17 +232,30 @@ class DecoderModel:
         return P(None, None, None, self.parallel.tp_axis, None)
 
     def init_params(self, rng_key, scale: float = 0.02) -> Dict[str, Any]:
-        """Random params (tests / memory profiling)."""
+        """Random params (tests / memory profiling / synthetic benchmarks)."""
         dtype = _dtype_of(self.args)
 
-        def init_leaf(path_shape, key):
-            return (jax.random.normal(key, path_shape, dtype=jnp.float32) * scale).astype(dtype)
+        def init_leaf(path, path_shape, key):
+            name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+            if name == "qweight":
+                return jax.random.randint(key, path_shape, -128, 127, dtype=jnp.int8)
+            if name == "zeros":
+                fill = 8 if self.quant and self.quant.bits == 4 else 0
+                return jnp.full(path_shape, fill, dtype=jnp.int8)
+            if name == "scales":
+                return jnp.full(path_shape, scale / 8.0, dtype=jnp.float32)
+            return (
+                jax.random.normal(key, path_shape, dtype=jnp.float32) * scale
+            ).astype(dtype)
 
         shapes = self.param_shapes()
-        leaves, treedef = jax.tree_util.tree_flatten(shapes, is_leaf=lambda x: isinstance(x, tuple))
-        keys = jax.random.split(rng_key, len(leaves))
+        paths_leaves, treedef = jax.tree_util.tree_flatten_with_path(
+            shapes, is_leaf=lambda x: isinstance(x, tuple)
+        )
+        keys = jax.random.split(rng_key, len(paths_leaves))
         params = jax.tree_util.tree_unflatten(
-            treedef, [init_leaf(s, k) for s, k in zip(leaves, keys)]
+            treedef,
+            [init_leaf(p, s, k) for (p, s), k in zip(paths_leaves, keys)],
         )
         # Norm weights should start at 1 (or 0 for zero-centered).
         one = 0.0 if self.args.zero_centered_norm else 1.0
@@ -224,6 +272,23 @@ class DecoderModel:
         if a.norm_type == "rms_norm":
             return rms_norm(x, w, a.rms_norm_eps, a.zero_centered_norm)
         return layer_norm(x, w, b, a.layer_norm_eps)
+
+    def _proj(self, x, w):
+        """x @ W for a dense or quantized projection, f32 result
+        (quantized: fused dequant+matmul Pallas kernel, ops/quant_matmul.py —
+        the reference's QLinearImpl dispatch, qlinear_*_impl.h)."""
+        if isinstance(w, dict):
+            from scalellm_tpu.ops.quant_matmul import quant_matmul
+
+            out = quant_matmul(
+                x,
+                w["qweight"],
+                w["scales"],
+                w["zeros"],
+                bits=self.quant.bits,
+            )
+            return out.astype(jnp.float32)
+        return jnp.dot(x, w, preferred_element_type=jnp.float32)
 
     def _sm_scale(self) -> float:
         a = self.args
@@ -290,17 +355,17 @@ class DecoderModel:
             )
 
         def mlp(lp, x):
-            u = jnp.dot(x, lp["up_proj"], preferred_element_type=jnp.float32)
+            u = self._proj(x, lp["up_proj"])
             if a.mlp_bias:
                 u = u + lp["up_bias"].astype(jnp.float32)
             if a.mlp_gated:
-                g = jnp.dot(x, lp["gate_proj"], preferred_element_type=jnp.float32)
+                g = self._proj(x, lp["gate_proj"])
                 if a.mlp_bias:
                     g = g + lp["gate_bias"].astype(jnp.float32)
                 m = act_with_mul(a.hidden_act, g, u).astype(x.dtype)
             else:
                 m = ACT2FN[a.hidden_act](u).astype(x.dtype)
-            m = jnp.dot(m, lp["down_proj"], preferred_element_type=jnp.float32)
+            m = self._proj(m, lp["down_proj"])
             if tp_axis is not None:
                 m = lax.psum(m, tp_axis)
             if a.mlp_bias:
@@ -318,9 +383,9 @@ class DecoderModel:
 
             # ---- attention
             x = self._norm(h, lp["input_norm"], lp.get("input_norm_bias"))
-            q = jnp.dot(x, lp["q_proj"], preferred_element_type=jnp.float32)
-            k = jnp.dot(x, lp["k_proj"], preferred_element_type=jnp.float32)
-            v = jnp.dot(x, lp["v_proj"], preferred_element_type=jnp.float32)
+            q = self._proj(x, lp["q_proj"])
+            k = self._proj(x, lp["k_proj"])
+            v = self._proj(x, lp["v_proj"])
             if a.qkv_bias:
                 q = q + lp["q_bias"].astype(jnp.float32)
                 k = k + lp["k_bias"].astype(jnp.float32)
@@ -359,11 +424,7 @@ class DecoderModel:
                 )
             if self.kv_head_dim != Dh:
                 o = o[..., :Dh]
-            o = jnp.dot(
-                o.reshape(T, H_local * Dh),
-                lp["o_proj"],
-                preferred_element_type=jnp.float32,
-            )
+            o = self._proj(o.reshape(T, H_local * Dh), lp["o_proj"])
             if tp_axis is not None:
                 o = lax.psum(o, tp_axis)
             if a.o_proj_bias:

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from typing import Any, Dict
 
-from scalellm_tpu.config import ModelArgs
+from scalellm_tpu.config import ModelArgs, hf_dtype
 from scalellm_tpu.models.common import DecoderModel
 from scalellm_tpu.models.registry import ModelRegistry
 
@@ -33,7 +33,7 @@ def load_gemma_model_args(cfg: Dict[str, Any]) -> ModelArgs:
     """(reference: gemma.h REGISTER_MODEL_ARGS LOAD_ARG section)"""
     return ModelArgs(
         model_type="gemma",
-        dtype=cfg.get("torch_dtype", "bfloat16"),
+        dtype=hf_dtype(cfg, "bfloat16"),
         hidden_size=cfg.get("hidden_size", 2048),
         # older gemma configs say "gelu" but mean the tanh approximation
         hidden_act=(

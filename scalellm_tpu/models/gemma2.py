@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from typing import Any, Dict
 
-from scalellm_tpu.config import ModelArgs
+from scalellm_tpu.config import ModelArgs, hf_dtype
 from scalellm_tpu.models.common import DecoderModel
 from scalellm_tpu.models.registry import ModelRegistry
 
@@ -40,7 +40,7 @@ def load_gemma2_model_args(cfg: Dict[str, Any]) -> ModelArgs:
     per model_args.h:98-101,125-127)"""
     return ModelArgs(
         model_type="gemma2",
-        dtype=cfg.get("torch_dtype", "bfloat16"),
+        dtype=hf_dtype(cfg, "bfloat16"),
         hidden_size=cfg.get("hidden_size", 2304),
         hidden_act=cfg.get("hidden_activation", "gelu_pytorch_tanh")
         or "gelu_pytorch_tanh",

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from typing import Any, Dict
 
-from scalellm_tpu.config import ModelArgs
+from scalellm_tpu.config import ModelArgs, hf_dtype
 from scalellm_tpu.models.common import DecoderModel
 from scalellm_tpu.models.registry import ModelRegistry
 
@@ -43,7 +43,7 @@ def load_gpt2_model_args(cfg: Dict[str, Any]) -> ModelArgs:
     hidden = cfg.get("n_embd", 768)
     return ModelArgs(
         model_type="gpt2",
-        dtype=cfg.get("torch_dtype", "float32") or "float32",
+        dtype=hf_dtype(cfg, "float32"),
         hidden_size=hidden,
         hidden_act=cfg.get("activation_function", "gelu_new"),
         intermediate_size=cfg.get("n_inner") or 4 * hidden,

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from typing import Any, Dict, List
 
-from scalellm_tpu.config import ModelArgs
+from scalellm_tpu.config import ModelArgs, hf_dtype
 from scalellm_tpu.models.registry import ModelRegistry
 from scalellm_tpu.models.common import DecoderModel
 
@@ -22,7 +22,7 @@ def load_llama_model_args(cfg: Dict[str, Any]) -> ModelArgs:
     rope_scaling = cfg.get("rope_scaling") or {}
     return ModelArgs(
         model_type="llama",
-        dtype=cfg.get("torch_dtype", "bfloat16"),
+        dtype=hf_dtype(cfg, "bfloat16"),
         hidden_size=cfg.get("hidden_size", 4096),
         hidden_act=cfg.get("hidden_act", "silu"),
         intermediate_size=cfg.get("intermediate_size", 11008),

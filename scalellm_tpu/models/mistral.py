@@ -6,7 +6,7 @@ from __future__ import annotations
 
 from typing import Any, Dict
 
-from scalellm_tpu.config import ModelArgs
+from scalellm_tpu.config import ModelArgs, hf_dtype
 from scalellm_tpu.models.common import DecoderModel
 from scalellm_tpu.models.llama import LLAMA_WEIGHT_RULES, llama2_chat_template
 from scalellm_tpu.models.registry import ModelRegistry
@@ -16,7 +16,7 @@ from scalellm_tpu.models.registry import ModelRegistry
 def load_mistral_model_args(cfg: Dict[str, Any]) -> ModelArgs:
     return ModelArgs(
         model_type="mistral",
-        dtype=cfg.get("torch_dtype", "bfloat16"),
+        dtype=hf_dtype(cfg, "bfloat16"),
         hidden_size=cfg.get("hidden_size", 4096),
         hidden_act=cfg.get("hidden_act", "silu"),
         intermediate_size=cfg.get("intermediate_size", 14336),

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from typing import Any, Dict
 
-from scalellm_tpu.config import ModelArgs
+from scalellm_tpu.config import ModelArgs, hf_dtype
 from scalellm_tpu.models.common import DecoderModel
 from scalellm_tpu.models.registry import ModelRegistry
 
@@ -42,7 +42,7 @@ def load_phi_model_args(cfg: Dict[str, Any]) -> ModelArgs:
     """(reference: phi.h REGISTER_MODEL_ARGS — phi-msft layout)"""
     return ModelArgs(
         model_type="phi",
-        dtype=cfg.get("torch_dtype", "float16") or "float16",
+        dtype=hf_dtype(cfg, "float16"),
         hidden_size=cfg.get("hidden_size", 2048),
         hidden_act=cfg.get("hidden_act", "gelu_new"),
         intermediate_size=cfg.get("intermediate_size", 8192),

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from typing import Any, Dict
 
-from scalellm_tpu.config import ModelArgs
+from scalellm_tpu.config import ModelArgs, hf_dtype
 from scalellm_tpu.models.common import DecoderModel
 from scalellm_tpu.models.registry import ModelRegistry
 
@@ -38,7 +38,7 @@ def load_qwen_model_args(cfg: Dict[str, Any]) -> ModelArgs:
     because the checkpoint stores the doubled ff dim)"""
     return ModelArgs(
         model_type="qwen",
-        dtype=cfg.get("torch_dtype", "bfloat16"),
+        dtype=hf_dtype(cfg, "bfloat16"),
         hidden_size=cfg.get("hidden_size", 4096),
         hidden_act="silu",
         intermediate_size=cfg.get("intermediate_size", 22016) // 2,

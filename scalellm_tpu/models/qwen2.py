@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from typing import Any, Dict
 
-from scalellm_tpu.config import ModelArgs
+from scalellm_tpu.config import ModelArgs, hf_dtype
 from scalellm_tpu.models.common import DecoderModel
 from scalellm_tpu.models.llama import LLAMA_WEIGHT_RULES
 from scalellm_tpu.models.registry import ModelRegistry
@@ -25,7 +25,7 @@ def load_qwen2_model_args(cfg: Dict[str, Any]) -> ModelArgs:
     use_sliding = bool(cfg.get("use_sliding_window", False))
     return ModelArgs(
         model_type="qwen2",
-        dtype=cfg.get("torch_dtype", "bfloat16"),
+        dtype=hf_dtype(cfg, "bfloat16"),
         hidden_size=cfg.get("hidden_size", 3584),
         hidden_act=cfg.get("hidden_act", "silu"),
         intermediate_size=cfg.get("intermediate_size", 18944),

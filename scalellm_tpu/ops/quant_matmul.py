@@ -1,0 +1,240 @@
+"""Fused dequantize + matmul for weight-only INT4/INT8 quantization.
+
+TPU-native replacement for the reference's Marlin/GPTQ/AWQ CUDA GEMMs
+(reference: src/kernels/quantization/marlin/, awq/gemm_cuda_gen.cu,
+gptq/gptq_kernel.cu — ~10.5k LoC of CUDA). One Pallas kernel covers all
+weight-only formats via a canonical TPU layout; checkpoint-specific
+unpacking (AWQ/GPTQ nibble orders) happens once at load time
+(scalellm_tpu/quantization/).
+
+Canonical layout (column-major groups, lane-aligned N):
+  qweight: int8[K/2, N]  — two unsigned nibbles per byte along K
+           (byte b at row r holds K=2r in bits 0-3, K=2r+1 in bits 4-7)
+  or       int8[K, N]    — int8 quantization (signed values)
+  scales:  [K/G, N]      — per-group scales
+  zeros:   [K/G, N]      — per-group zero points (int8; int4: 0..15,
+           symmetric checkpoints use the constant 8)
+
+Dequant: w = (q - z) * s, computed in bf16 feeding the MXU.
+
+Why a kernel at all: batch-1 decode is HBM-bandwidth-bound, so INT4 wins by
+moving 4x fewer bytes than bf16 — but only if dequant fuses into the matmul
+(a separate dequant materializes bf16 weights and forfeits the win). XLA
+cannot fuse through the bit-unpacking, hence Pallas.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+# ---------------------------------------------------------------- packing
+
+
+def pack_int4(w_unsigned: np.ndarray) -> np.ndarray:
+    """[K, N] unsigned nibble values (0..15) → packed int8 [K//2, N]."""
+    assert w_unsigned.shape[0] % 2 == 0
+    lo = w_unsigned[0::2].astype(np.int32) & 0xF
+    hi = w_unsigned[1::2].astype(np.int32) & 0xF
+    return ((hi << 4) | lo).astype(np.int8)
+
+
+def quantize_int4(
+    w: np.ndarray, group_size: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Symmetric int4 group quantization of a float [K, N] weight.
+    Returns (packed int8 [K//2, N], scales f32 [K//G, N], zeros int8)."""
+    K, N = w.shape
+    assert K % group_size == 0
+    # ascontiguousarray throughout: reductions over F-ordered inputs (e.g. a
+    # transposed torch weight) yield F-ordered outputs, and raw-buffer
+    # serializers (safetensors) would silently write them transposed.
+    w = np.ascontiguousarray(w)
+    g = w.reshape(K // group_size, group_size, N)
+    max_abs = np.ascontiguousarray(np.abs(g).max(axis=1))  # [K/G, N]
+    scales = (max_abs / 7.0).astype(np.float32)
+    scales = np.maximum(scales, 1e-10)
+    q = np.clip(np.round(g / scales[:, None, :]), -8, 7)
+    q_unsigned = (q + 8).astype(np.uint8).reshape(K, N)
+    zeros = np.full((K // group_size, N), 8, dtype=np.int8)
+    return pack_int4(q_unsigned), scales, zeros
+
+
+def quantize_int8(
+    w: np.ndarray, group_size: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Symmetric int8 group quantization. Returns (int8 [K, N], scales, zeros)."""
+    K, N = w.shape
+    w = np.ascontiguousarray(w)
+    g = w.reshape(K // group_size, group_size, N)
+    max_abs = np.ascontiguousarray(np.abs(g).max(axis=1))
+    scales = np.maximum((max_abs / 127.0).astype(np.float32), 1e-10)
+    q = np.clip(np.round(g / scales[:, None, :]), -127, 127).astype(np.int8)
+    zeros = np.zeros((K // group_size, N), dtype=np.int8)
+    return q.reshape(K, N), scales, zeros
+
+
+# ---------------------------------------------------------------- reference
+
+
+def ref_quant_matmul(
+    x: jnp.ndarray,  # [M, K]
+    qweight: jnp.ndarray,  # int4: [K//2, N] packed; int8: [K, N]
+    scales: jnp.ndarray,  # [K/G, N]
+    zeros: jnp.ndarray,  # [K/G, N] int8
+    bits: int,
+) -> jnp.ndarray:
+    K = x.shape[-1]
+    if bits == 4:
+        q = qweight.astype(jnp.int32)
+        lo = q & 0xF
+        hi = (q >> 4) & 0xF
+        w = jnp.stack([lo, hi], axis=1).reshape(K, -1)
+    else:
+        w = qweight.astype(jnp.int32)
+    G = K // scales.shape[0]
+    z = jnp.repeat(zeros.astype(jnp.int32), G, axis=0)
+    s = jnp.repeat(scales.astype(jnp.float32), G, axis=0)
+    wf = (w - z).astype(jnp.float32) * s
+    return jnp.dot(
+        x.astype(jnp.float32), wf, preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+
+
+# ---------------------------------------------------------------- kernel
+
+
+def _int4_kernel(x_ref, qw_ref, sc_ref, zp_ref, o_ref, acc_ref, *, n_k: int):
+    """One (n, k) grid cell: dequant a [BK, BN] weight tile and accumulate
+    x_tile @ w_tile into the f32 scratch; flush on the last k step."""
+    kk = pl.program_id(1)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = qw_ref[:].astype(jnp.int32)  # [BK//2, BN]
+    lo = q & 0xF
+    hi = (q >> 4) & 0xF
+    bk2, bn = q.shape
+    w = jnp.stack([lo, hi], axis=1).reshape(bk2 * 2, bn)  # [BK, BN]
+    g = (bk2 * 2) // sc_ref.shape[0]
+    z = jnp.repeat(zp_ref[:].astype(jnp.int32), g, axis=0)
+    s = jnp.repeat(sc_ref[:], g, axis=0).astype(jnp.bfloat16)
+    wf = (w - z).astype(jnp.bfloat16) * s
+    acc_ref[:] += jnp.dot(
+        x_ref[:], wf, preferred_element_type=jnp.float32
+    )
+
+    @pl.when(kk == n_k - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def _int8_kernel(x_ref, qw_ref, sc_ref, zp_ref, o_ref, acc_ref, *, n_k: int):
+    kk = pl.program_id(1)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w = qw_ref[:].astype(jnp.int32)  # [BK, BN]
+    bk, bn = w.shape
+    g = bk // sc_ref.shape[0]
+    z = jnp.repeat(zp_ref[:].astype(jnp.int32), g, axis=0)
+    s = jnp.repeat(sc_ref[:], g, axis=0).astype(jnp.bfloat16)
+    wf = (w - z).astype(jnp.bfloat16) * s
+    acc_ref[:] += jnp.dot(x_ref[:], wf, preferred_element_type=jnp.float32)
+
+    @pl.when(kk == n_k - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+@functools.cache
+def _default_backend() -> str:
+    try:
+        return jax.devices()[0].platform
+    except Exception:
+        return "cpu"
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bits", "block_n", "block_k", "backend")
+)
+def quant_matmul(
+    x: jnp.ndarray,  # [M, K] bf16/f32
+    qweight: jnp.ndarray,  # int4: int8[K//2, N]; int8: int8[K, N]
+    scales: jnp.ndarray,  # [K//G, N]
+    zeros: jnp.ndarray,  # int8 [K//G, N]
+    bits: int = 4,
+    block_n: int = 256,
+    block_k: int = 512,
+    backend: Optional[str] = None,
+) -> jnp.ndarray:
+    """x @ dequant(qweight) with fused dequantization."""
+    backend = backend or _default_backend()
+    M, K = x.shape
+    N = qweight.shape[-1]
+    if backend != "tpu":
+        return ref_quant_matmul(x, qweight, scales, zeros, bits)
+
+    G = K // scales.shape[0]
+    block_n = min(block_n, N)
+    # The scales/zeros blocks are [block_k/G, block_n]; Mosaic requires the
+    # sublane dim to be a multiple of 8 (or the full array), so k-tiles are
+    # multiples of 8*G — or a single full-K block when K is small.
+    chunk = 8 * G
+    if K % chunk == 0 and K > chunk:
+        block_k = max(chunk, (min(block_k, K) // chunk) * chunk)
+    else:
+        block_k = K
+    n_n = pl.cdiv(N, block_n)
+    n_k = pl.cdiv(K, block_k)
+
+    qk_rows = block_k // 2 if bits == 4 else block_k
+    kernel = _int4_kernel if bits == 4 else _int8_kernel
+
+    bytes_w = qweight.size * 1 + scales.size * scales.dtype.itemsize
+    return pl.pallas_call(
+        functools.partial(kernel, n_k=n_k),
+        out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
+        grid=(n_n, n_k),
+        in_specs=[
+            pl.BlockSpec(
+                (M, block_k), lambda n, k: (0, k), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (qk_rows, block_n), lambda n, k: (k, n), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (block_k // G, block_n),
+                lambda n, k: (k, n),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (block_k // G, block_n),
+                lambda n, k: (k, n),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (M, block_n), lambda n, k: (0, n), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((M, block_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=bytes_w + M * K * 2 + M * N * 2,
+            transcendentals=0,
+        ),
+    )(x.astype(jnp.bfloat16), qweight, scales, zeros)
