@@ -107,8 +107,28 @@ def run_decode_bench(preset: str, batch: int, steps: int, page_size: int = 16):
 
     model = build_model(preset)
     a = model.args
-    key = jax.random.PRNGKey(0)
-    params = model.init_params(key)
+    import os
+
+    if os.environ.get("BENCH_FAST_INIT"):
+        # Zero weights: tokens are meaningless but per-step timing identical.
+        def zero_leaf(path, shape):
+            name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+            if name in ("qweight", "zeros"):
+                return jnp.zeros(shape, jnp.int8)
+            if name == "scales":
+                return jnp.zeros(shape, jnp.float32)
+            dt = jnp.bfloat16 if a.dtype == "bfloat16" else jnp.float32
+            return jnp.zeros(shape, dt)
+
+        paths_leaves, treedef = jax.tree_util.tree_flatten_with_path(
+            model.param_shapes(), is_leaf=lambda x: isinstance(x, tuple)
+        )
+        params = jax.tree_util.tree_unflatten(
+            treedef, [zero_leaf(p, sh) for p, sh in paths_leaves]
+        )
+    else:
+        key = jax.random.PRNGKey(0)
+        params = model.init_params(key)
 
     # One sequence per batch lane, each with a 128-token prefilled context.
     ctx = 128
@@ -184,7 +204,11 @@ def main():
     # v5e HBM bandwidth ~819 GB/s; CPU number is meaningless but nonzero.
     hbm_bw = 819e9 if on_tpu else 50e9
 
+    import os
+
     presets = ["tinyllama-1.1b", "llama31-8b-int4"] if on_tpu else ["tiny"]
+    if os.environ.get("BENCH_PRESETS"):
+        presets = os.environ["BENCH_PRESETS"].split(",")
     headline = None
     for preset in presets:
         toks_per_s, model = run_decode_bench(preset, batch, steps)

@@ -75,6 +75,9 @@ class ModelArgs:
     n_experts_per_token: int = 0
     moe_intermediate_size: int = 0
     n_shared_experts: int = 0
+    # qwen2_moe-style always-on shared expert FFN dim (0 = none); the dense
+    # gate/up/down param slots hold the shared expert's weights
+    moe_shared_intermediate: int = 0
     norm_topk_prob: bool = False
     # misc
     stop_token_ids: List[int] = field(default_factory=list)

@@ -115,15 +115,16 @@ class HFModelLoader:
                 return np.float32
             return np_dtype
 
-        def ensure_buf(path: str):
+        def ensure_buf(path: str, n_idx: int):
             if path in bufs:
                 return
             node = shapes
             for part in path.split("."):
                 node = node[part]
             bufs[path] = np.zeros(node, dtype=leaf_dtype(path))
-            n_layers = node[0] if path.startswith("layers.") else 1
-            filled[path] = np.zeros(n_layers, dtype=bool)
+            # One fill flag per leading index tuple (layer, [expert, ...]).
+            lead = node[:n_idx] if n_idx else (1,)
+            filled[path] = np.zeros(lead, dtype=bool)
 
         kv_rep = getattr(model, "kv_replication", 1)
         kv_paths = {"layers.k_proj", "layers.v_proj", "layers.k_bias", "layers.v_bias"}
@@ -135,12 +136,14 @@ class HFModelLoader:
                 return
             if any(path.startswith(kp) for kp in kv_paths) and kv_rep > 1:
                 tensor = self._replicate_kv_heads(tensor, kv_rep, args.head_dim)
-            ensure_buf(path)
             dt = leaf_dtype(path)
-            if path.startswith("layers."):
-                layer = int(m.group(1))
-                bufs[path][layer] = tensor.astype(dt, copy=False)
-                filled[path][layer] = True
+            # Regex groups give the leading indices: (layer,) for per-layer
+            # tensors, (layer, expert) for MoE expert tensors.
+            idx = tuple(int(g) for g in m.groups() if g is not None)
+            ensure_buf(path, len(idx))
+            if idx:
+                bufs[path][idx] = tensor.astype(dt, copy=False)
+                filled[path][idx] = True
             else:
                 bufs[path][...] = tensor.astype(dt, copy=False)
                 filled[path][0] = True

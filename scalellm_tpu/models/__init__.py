@@ -9,5 +9,7 @@ from scalellm_tpu.models import mistral  # noqa: F401
 from scalellm_tpu.models import phi  # noqa: F401
 from scalellm_tpu.models import qwen  # noqa: F401
 from scalellm_tpu.models import qwen2  # noqa: F401
+from scalellm_tpu.models import mixtral  # noqa: F401
+from scalellm_tpu.models import qwen2_moe  # noqa: F401
 
 __all__ = ["ModelRegistry"]

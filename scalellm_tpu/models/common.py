@@ -105,11 +105,25 @@ class DecoderModel:
             "k_proj": proj(D, Hkv * Dh),
             "v_proj": proj(D, Hkv * Dh),
             "o_proj": proj(H * Dh, D),
-            "up_proj": proj(D, F),
-            "down_proj": proj(F, D),
         }
-        if a.mlp_gated:
-            layers["gate_proj"] = proj(D, F)
+        if a.n_experts > 0:
+            E, Fm = a.n_experts, a.moe_intermediate_size
+            layers["router"] = (L, D, E)
+            layers["moe_gate"] = (L, E, D, Fm)
+            layers["moe_up"] = (L, E, D, Fm)
+            layers["moe_down"] = (L, E, Fm, D)
+            if a.moe_shared_intermediate > 0:
+                Fs = a.moe_shared_intermediate
+                layers["up_proj"] = proj(D, Fs)
+                layers["down_proj"] = proj(Fs, D)
+                if a.mlp_gated:
+                    layers["gate_proj"] = proj(D, Fs)
+                layers["shared_gate"] = (L, D, 1)
+        else:
+            layers["up_proj"] = proj(D, F)
+            layers["down_proj"] = proj(F, D)
+            if a.mlp_gated:
+                layers["gate_proj"] = proj(D, F)
         if not a.parallel_residual:
             layers["post_norm"] = (L, D)
         if a.residual_post_layernorm:
@@ -178,11 +192,24 @@ class DecoderModel:
             "k_proj": proj_spec(False),
             "v_proj": proj_spec(False),
             "o_proj": proj_spec(True),  # row-parallel
-            "up_proj": proj_spec(False),
-            "down_proj": proj_spec(True),
         }
-        if a.mlp_gated:
-            layers["gate_proj"] = proj_spec(False)
+        if a.n_experts > 0:
+            layers["router"] = P(None, None, None)
+            # expert FFN dim sharded over tp (column for gate/up, row for down)
+            layers["moe_gate"] = P(None, None, None, tp)
+            layers["moe_up"] = P(None, None, None, tp)
+            layers["moe_down"] = P(None, None, tp, None)
+            if a.moe_shared_intermediate > 0:
+                layers["up_proj"] = proj_spec(False)
+                layers["down_proj"] = proj_spec(True)
+                if a.mlp_gated:
+                    layers["gate_proj"] = proj_spec(False)
+                layers["shared_gate"] = P(None, None, None)
+        else:
+            layers["up_proj"] = proj_spec(False)
+            layers["down_proj"] = proj_spec(True)
+            if a.mlp_gated:
+                layers["gate_proj"] = proj_spec(False)
         if not a.parallel_residual:
             layers["post_norm"] = P(None, None)
         if a.residual_post_layernorm:
@@ -240,8 +267,7 @@ class DecoderModel:
             if name == "qweight":
                 return jax.random.randint(key, path_shape, -128, 127, dtype=jnp.int8)
             if name == "zeros":
-                fill = 8 if self.quant and self.quant.bits == 4 else 0
-                return jnp.full(path_shape, fill, dtype=jnp.int8)
+                return jnp.zeros(path_shape, dtype=jnp.int8)
             if name == "scales":
                 return jnp.full(path_shape, scale / 8.0, dtype=jnp.float32)
             return (
@@ -354,7 +380,8 @@ class DecoderModel:
                 logit_soft_cap=soft_cap,
             )
 
-        def mlp(lp, x):
+        def dense_ffn(lp, x):
+            """Gated/plain FFN, pre-psum partial result."""
             u = self._proj(x, lp["up_proj"])
             if a.mlp_bias:
                 u = u + lp["up_bias"].astype(jnp.float32)
@@ -365,7 +392,34 @@ class DecoderModel:
                 m = act_with_mul(a.hidden_act, g, u).astype(x.dtype)
             else:
                 m = ACT2FN[a.hidden_act](u).astype(x.dtype)
-            m = self._proj(m, lp["down_proj"])
+            return self._proj(m, lp["down_proj"])
+
+        def mlp(lp, x):
+            if a.n_experts > 0:
+                from scalellm_tpu.layers.moe import moe_mlp
+
+                m = moe_mlp(
+                    x,
+                    lp["router"],
+                    lp["moe_gate"],
+                    lp["moe_up"],
+                    lp["moe_down"],
+                    a.n_experts_per_token,
+                    a.norm_topk_prob,
+                    ACT2FN[a.hidden_act],
+                )
+                if a.moe_shared_intermediate > 0:
+                    gate = jax.nn.sigmoid(
+                        jnp.dot(
+                            x.astype(jnp.float32),
+                            lp["shared_gate"].astype(jnp.float32),
+                        )
+                    )  # [T, 1]
+                    m = m + dense_ffn(lp, x) * gate
+                if tp_axis is not None:
+                    m = lax.psum(m, tp_axis)
+                return m
+            m = dense_ffn(lp, x)
             if tp_axis is not None:
                 m = lax.psum(m, tp_axis)
             if a.mlp_bias:

@@ -8,12 +8,16 @@ unpacking (AWQ/GPTQ nibble orders) happens once at load time
 (scalellm_tpu/quantization/).
 
 Canonical layout (column-major groups, lane-aligned N):
-  qweight: int8[K/2, N]  — two unsigned nibbles per byte along K
-           (byte b at row r holds K=2r in bits 0-3, K=2r+1 in bits 4-7)
+  qweight: int8[K/2, N]  — two SIGNED nibbles per byte along K (two's
+           complement; byte r holds K=2r in bits 0-3, K=2r+1 in bits 4-7 —
+           exactly int4 little-endian element order, so the kernel
+           reinterprets the tile with pltpu.bitcast(int4) and the "unpack"
+           is a free hardware int4→bf16 convert). Stored value is the
+           checkpoint's unsigned nibble minus 8.
   or       int8[K, N]    — int8 quantization (signed values)
   scales:  [K/G, N]      — per-group scales
-  zeros:   [K/G, N]      — per-group zero points (int8; int4: 0..15,
-           symmetric checkpoints use the constant 8)
+  zeros:   [K/G, N]      — per-group zero points, SHIFTED by -8 for int4
+           (signed; symmetric checkpoints store 0)
 
 Dequant: w = (q - z) * s, computed in bf16 feeding the MXU.
 
@@ -39,11 +43,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def pack_int4(w_unsigned: np.ndarray) -> np.ndarray:
-    """[K, N] unsigned nibble values (0..15) → packed int8 [K//2, N]."""
+    """[K, N] unsigned nibble values (0..15) → packed SIGNED int8 [K//2, N]
+    (each nibble stores value-8 in two's complement; see module docstring)."""
     assert w_unsigned.shape[0] % 2 == 0
-    lo = w_unsigned[0::2].astype(np.int32) & 0xF
-    hi = w_unsigned[1::2].astype(np.int32) & 0xF
-    return ((hi << 4) | lo).astype(np.int8)
+    w = (w_unsigned.astype(np.int32) - 8) & 0xF
+    lo = w[0::2]
+    hi = w[1::2]
+    packed = (hi << 4) | lo
+    # view as signed bytes
+    return packed.astype(np.uint8).view(np.int8)
 
 
 def quantize_int4(
@@ -63,7 +71,8 @@ def quantize_int4(
     scales = np.maximum(scales, 1e-10)
     q = np.clip(np.round(g / scales[:, None, :]), -8, 7)
     q_unsigned = (q + 8).astype(np.uint8).reshape(K, N)
-    zeros = np.full((K // group_size, N), 8, dtype=np.int8)
+    # canonical zero point: unsigned 8 → signed 0
+    zeros = np.zeros((K // group_size, N), dtype=np.int8)
     return pack_int4(q_unsigned), scales, zeros
 
 
@@ -94,8 +103,9 @@ def ref_quant_matmul(
     K = x.shape[-1]
     if bits == 4:
         q = qweight.astype(jnp.int32)
-        lo = q & 0xF
-        hi = (q >> 4) & 0xF
+        # sign-extend each nibble (two's complement)
+        lo = ((q & 0xF) ^ 8) - 8
+        hi = (((q >> 4) & 0xF) ^ 8) - 8
         w = jnp.stack([lo, hi], axis=1).reshape(K, -1)
     else:
         w = qweight.astype(jnp.int32)
@@ -113,25 +123,39 @@ def ref_quant_matmul(
 
 def _int4_kernel(x_ref, qw_ref, sc_ref, zp_ref, o_ref, acc_ref, *, n_k: int):
     """One (n, k) grid cell: dequant a [BK, BN] weight tile and accumulate
-    x_tile @ w_tile into the f32 scratch; flush on the last k step."""
+    x_tile @ w_tile into the f32 scratch; flush on the last k step.
+
+    The packed int8 tile is reinterpreted as int4 via pltpu.bitcast — the
+    nibble layout (low nibble = even K row) matches int4's little-endian
+    element order, so the unpack is free (a hardware int4→bf16 convert)
+    instead of a VPU shift/mask/shuffle chain.
+    """
     kk = pl.program_id(1)
 
     @pl.when(kk == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = qw_ref[:].astype(jnp.int32)  # [BK//2, BN]
-    lo = q & 0xF
-    hi = (q >> 4) & 0xF
-    bk2, bn = q.shape
-    w = jnp.stack([lo, hi], axis=1).reshape(bk2 * 2, bn)  # [BK, BN]
-    g = (bk2 * 2) // sc_ref.shape[0]
-    z = jnp.repeat(zp_ref[:].astype(jnp.int32), g, axis=0)
-    s = jnp.repeat(sc_ref[:], g, axis=0).astype(jnp.bfloat16)
-    wf = (w - z).astype(jnp.bfloat16) * s
-    acc_ref[:] += jnp.dot(
-        x_ref[:], wf, preferred_element_type=jnp.float32
-    )
+    w4 = pltpu.bitcast(qw_ref[:], jnp.int4)  # [BK, BN] signed nibbles
+    bk, bn = w4.shape
+    n_g = sc_ref.shape[0]
+    G = bk // n_g
+    m = x_ref.shape[0]
+    # Scales/zeros are constant along K within a group, so they distribute
+    # out of the contraction: x_g @ ((w_g - z_g) * s_g) ==
+    # (x_g @ w_g - sum_k(x_g) * z_g) * s_g. This keeps ALL elementwise work
+    # off the big [BK, BN] weight tile (only the free int4→bf16 convert
+    # touches it) — the Marlin-style trick, restated for the MXU.
+    w = w4.astype(jnp.bfloat16).reshape(n_g, G, bn)
+    x = x_ref[:].reshape(m, n_g, G).transpose(1, 0, 2)  # [n_g, M, G]
+    dots = jax.lax.dot_general(
+        x, w, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )  # [n_g, M, BN]
+    xsum = jnp.sum(x.astype(jnp.float32), axis=2)  # [n_g, M]
+    s = sc_ref[:].astype(jnp.float32)  # [n_g, BN]
+    z = zp_ref[:].astype(jnp.float32)
+    corr = xsum[:, :, None] * z[:, None, :]
+    acc_ref[:] += jnp.sum((dots - corr) * s[:, None, :], axis=0)
 
     @pl.when(kk == n_k - 1)
     def _():
@@ -158,6 +182,12 @@ def _int8_kernel(x_ref, qw_ref, sc_ref, zp_ref, o_ref, acc_ref, *, n_k: int):
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
+def _env_int(name: str, default: int) -> int:
+    import os
+
+    return int(os.environ.get(name, default))
+
+
 @functools.cache
 def _default_backend() -> str:
     try:
@@ -175,8 +205,8 @@ def quant_matmul(
     scales: jnp.ndarray,  # [K//G, N]
     zeros: jnp.ndarray,  # int8 [K//G, N]
     bits: int = 4,
-    block_n: int = 256,
-    block_k: int = 512,
+    block_n: int = _env_int("QUANT_BLOCK_N", 512),
+    block_k: int = _env_int("QUANT_BLOCK_K", 1024),
     backend: Optional[str] = None,
 ) -> jnp.ndarray:
     """x @ dequant(qweight) with fused dequantization."""

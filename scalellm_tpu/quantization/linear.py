@@ -44,7 +44,10 @@ def build_quant_rules(base_rules: List[Tuple], quant: QuantArgs) -> List[Tuple]:
         return pack_int4(u)
 
     def zeros_transform(t: np.ndarray) -> np.ndarray:
-        return unpack_awq_zeros(t, bits) if method == "awq" else unpack_gptq_zeros(t, bits)
+        z = unpack_awq_zeros(t, bits) if method == "awq" else unpack_gptq_zeros(t, bits)
+        # canonical layout stores signed nibbles (value - 8); shift the zero
+        # points to match
+        return (z.astype(np.int32) - 8).astype(np.int8)
 
     out: List[Tuple] = []
     for rule in base_rules:

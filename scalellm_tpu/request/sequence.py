@@ -85,6 +85,7 @@ class Sequence:
 
         self.created_time = time.monotonic()
         self.first_token_time: Optional[float] = None
+        self.last_token_time: Optional[float] = None
         # output text already delivered to the stream
         self._delivered_text_len = 0
         self.is_cancelled = False
@@ -119,8 +120,22 @@ class Sequence:
         self._finish_state_valid = False
         if logprob is not None or self.sampling_params.logprobs:
             self.logprobs.append(logprob)
+        now = time.monotonic()
+        # Serving latency metrics (reference: continuous_scheduler.cpp:46-54
+        # TTFT + inter-token histograms).
+        from scalellm_tpu.utils.metrics import COUNTERS, HISTOGRAMS
+
         if self.first_token_time is None:
-            self.first_token_time = time.monotonic()
+            self.first_token_time = now
+            HISTOGRAMS.observe(
+                "time_to_first_token_latency_seconds", now - self.created_time
+            )
+        elif self.last_token_time is not None:
+            HISTOGRAMS.observe(
+                "inter_token_latency_seconds", now - self.last_token_time
+            )
+        self.last_token_time = now
+        COUNTERS.inc("num_generated_tokens_total")
 
     def validate_tokens(self, accepted_token_ids: Seq[int]) -> int:
         """Speculative validation (reference: sequence.cpp:92 validate_tokens).

@@ -134,6 +134,9 @@ class ContinuousScheduler:
         self._response_handler.on_request_finish(request)
         with self._pending_lock:
             self._pending -= 1
+        HISTOGRAMS.observe(
+            "end_2_end_latency_seconds", time.monotonic() - request.created_time
+        )
         COUNTERS.inc("responsing_rounds" if request.stream else "non_stream_responses")
 
     def _build_batch(self, timeout_s: float) -> Batch:

@@ -52,6 +52,22 @@ FAMILIES = {
              head_dim=16, max_position_embeddings=256,
              tie_word_embeddings=False),
     ),
+    "mixtral": (
+        "MixtralConfig", "MixtralForCausalLM",
+        dict(vocab_size=128, hidden_size=64, intermediate_size=96,
+             num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+             max_position_embeddings=256, num_local_experts=4,
+             num_experts_per_tok=2, tie_word_embeddings=False),
+    ),
+    "qwen2_moe": (
+        "Qwen2MoeConfig", "Qwen2MoeForCausalLM",
+        dict(vocab_size=128, hidden_size=64, intermediate_size=96,
+             num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+             max_position_embeddings=256, num_experts=4, num_experts_per_tok=2,
+             moe_intermediate_size=48, shared_expert_intermediate_size=96,
+             norm_topk_prob=False, decoder_sparse_step=1, mlp_only_layers=[],
+             tie_word_embeddings=False),
+    ),
     "mistral": (
         "MistralConfig", "MistralForCausalLM",
         dict(vocab_size=128, hidden_size=64, intermediate_size=128,

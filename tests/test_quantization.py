@@ -132,15 +132,20 @@ def _quantize_checkpoint(src_dir: str, dst_dir: str, fmt: str, group: int = 32):
             t = f.get_tensor(name)
             if name.endswith(proj_suffixes):
                 w = t.T.astype(np.float32)  # [in, out]
-                qw_packed, sc, zp = quantize_int4(w, group)
-                # unpack canonical → raw nibbles for format packing
+                qw_packed, sc, zp_signed = quantize_int4(w, group)
+                # canonical packs SIGNED nibbles (value-8); recover the
+                # checkpoint's unsigned nibbles and its unsigned zero point
                 lo = qw_packed.astype(np.int32) & 0xF
                 hi = (qw_packed.astype(np.int32) >> 4) & 0xF
-                u = np.stack([lo, hi], axis=1).reshape(w.shape).astype(np.uint8)
+                sx = lambda v: ((v ^ 8) - 8)  # sign-extend nibble
+                u = (
+                    np.stack([sx(lo), sx(hi)], axis=1).reshape(w.shape) + 8
+                ).astype(np.uint8)
+                zp = (zp_signed.astype(np.int32) + 8).astype(np.uint8)
                 stem = name[: -len(".weight")]
                 if fmt == "awq":
                     out_q[stem + ".qweight"] = pack_awq(u)
-                    out_q[stem + ".qzeros"] = pack_zeros_awq(zp.astype(np.uint8))
+                    out_q[stem + ".qzeros"] = pack_zeros_awq(zp)
                 else:
                     out_q[stem + ".qweight"] = pack_gptq(u)
                     out_q[stem + ".qzeros"] = pack_zeros_gptq(zp)
