@@ -109,8 +109,12 @@ class LLMEngine:
             num_blocks = shared_block_manager.options.num_blocks
             self.block_manager = shared_block_manager
         else:
+            from scalellm_tpu.memory.native_block_manager import (
+                create_block_manager,
+            )
+
             num_blocks = options.num_blocks or self._profile_num_blocks()
-            self.block_manager = BlockManager(
+            self.block_manager = create_block_manager(
                 BlockManagerOptions(
                     num_blocks=num_blocks,
                     block_size=options.block_size,
