@@ -1,0 +1,150 @@
+"""Serving throughput benchmark: continuous batching under mixed
+prefill/decode load (the ShareGPT-style eval of BASELINE.json configs[2]).
+
+Drives LLMHandler with a synthetic request distribution (lognormal prompt
+lengths, exponential output lengths), optionally with duplicated prompt
+prefixes to exercise the prefix cache, and reports throughput plus the
+TTFT / inter-token / end-to-end latency histograms the engine records
+(reference metric schema: continuous_scheduler.cpp:46-54).
+
+Usage:
+  python benchmarks/serve_bench.py --model <hf_dir> --num-requests 64
+  python benchmarks/serve_bench.py --tiny   # synthetic tiny model (CPU ok)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import random
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _percentile(h, q: float) -> float:
+    """Approximate percentile from a metrics histogram."""
+    if h is None or h.count == 0:
+        return 0.0
+    target = h.count * q
+    cum = 0
+    for b, c in zip(h.buckets, h.counts):
+        cum += c
+        if cum >= target:
+            return b
+    return h.buckets[-1]
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", type=str, default=None)
+    p.add_argument("--tiny", action="store_true", help="synthetic tiny llama")
+    p.add_argument("--num-requests", type=int, default=64)
+    p.add_argument("--mean-prompt", type=int, default=64)
+    p.add_argument("--mean-output", type=int, default=32)
+    p.add_argument("--prefix-share", type=float, default=0.5,
+                   help="fraction of requests sharing a long common prefix")
+    p.add_argument("--max-tokens-per-batch", type=int, default=512)
+    p.add_argument("--max-seqs-per-batch", type=int, default=64)
+    p.add_argument("--block-size", type=int, default=16)
+    p.add_argument("--num-blocks", type=int, default=0)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
+    if args.tiny or args.model is None:
+        import tempfile
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+        from tests.fixtures import make_tiny_llama
+
+        args.model = make_tiny_llama(
+            os.path.join(tempfile.gettempdir(), "serve_bench_tiny"),
+            tokenizer=True,
+        )
+
+    from scalellm_tpu.handlers.llm_handler import LLMHandler, LLMHandlerOptions
+    from scalellm_tpu.request.output import RequestOutput
+    from scalellm_tpu.sampling.params import SamplingParams
+    from scalellm_tpu.utils import metrics
+
+    handler = LLMHandler(
+        LLMHandlerOptions(
+            model_path=args.model,
+            block_size=args.block_size,
+            num_blocks=args.num_blocks,
+            max_tokens_per_batch=args.max_tokens_per_batch,
+            max_seqs_per_batch=args.max_seqs_per_batch,
+            enable_cuda_graph=False,
+        )
+    )
+
+    rng = random.Random(args.seed)
+    alphabet = "abcdefghijklmnopqrstuvwxyz "
+    shared_prefix = "".join(rng.choice(alphabet) for _ in range(args.mean_prompt))
+
+    requests = []
+    for i in range(args.num_requests):
+        plen = max(4, int(rng.lognormvariate(0, 0.5) * args.mean_prompt))
+        body = "".join(rng.choice(alphabet) for _ in range(plen))
+        prompt = (shared_prefix + body) if rng.random() < args.prefix_share else body
+        out_len = max(1, min(256, int(rng.expovariate(1.0 / args.mean_output))))
+        requests.append((prompt, out_len))
+
+    metrics.reset_all()
+    done = threading.Event()
+    remaining = [len(requests)]
+    lock = threading.Lock()
+    completed_tokens = [0]
+
+    def make_cb():
+        def cb(out: RequestOutput) -> bool:
+            if out.finished:
+                with lock:
+                    if out.usage:
+                        completed_tokens[0] += out.usage.num_generated_tokens
+                    remaining[0] -= 1
+                    if remaining[0] == 0:
+                        done.set()
+            return True
+
+        return cb
+
+    t0 = time.monotonic()
+    for prompt, out_len in requests:
+        sp = SamplingParams(max_tokens=out_len, temperature=0.0, ignore_eos=True)
+        handler.schedule_async(prompt, sp, stream=True, callback=make_cb())
+    handler.start()
+    done.wait()
+    wall = time.monotonic() - t0
+    handler.stop()
+
+    ttft = metrics.HISTOGRAMS.get("time_to_first_token_latency_seconds")
+    itl = metrics.HISTOGRAMS.get("inter_token_latency_seconds")
+    e2e = metrics.HISTOGRAMS.get("end_2_end_latency_seconds")
+    result = {
+        "num_requests": len(requests),
+        "wall_s": round(wall, 2),
+        "output_tokens": completed_tokens[0],
+        "output_tokens_per_s": round(completed_tokens[0] / wall, 1),
+        "requests_per_s": round(len(requests) / wall, 2),
+        "p50_ttft_s": _percentile(ttft, 0.5),
+        "p95_ttft_s": _percentile(ttft, 0.95),
+        "p50_itl_s": _percentile(itl, 0.5),
+        "p95_itl_s": _percentile(itl, 0.95),
+        "p50_e2e_s": _percentile(e2e, 0.5),
+        "prefix_cache_blocks": metrics.GAUGES.get("num_blocks_in_prefix_cache"),
+    }
+    print(json.dumps(result, indent=2))
+
+
+if __name__ == "__main__":
+    main()

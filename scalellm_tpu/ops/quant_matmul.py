@@ -146,7 +146,9 @@ def _int4_kernel(x_ref, qw_ref, sc_ref, zp_ref, o_ref, acc_ref, *, n_k: int):
     # (x_g @ w_g - sum_k(x_g) * z_g) * s_g. This keeps ALL elementwise work
     # off the big [BK, BN] weight tile (only the free int4→bf16 convert
     # touches it) — the Marlin-style trick, restated for the MXU.
-    w = w4.astype(jnp.bfloat16).reshape(n_g, G, bn)
+    # Mixed bf16 × int4 dot: the MXU consumes the int4 operand directly —
+    # no VPU convert of the [BK, BN] tile at all.
+    w = w4.reshape(n_g, G, bn)
     x = x_ref[:].reshape(m, n_g, G).transpose(1, 0, 2)  # [n_g, M, G]
     dots = jax.lax.dot_general(
         x, w, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
@@ -163,19 +165,29 @@ def _int4_kernel(x_ref, qw_ref, sc_ref, zp_ref, o_ref, acc_ref, *, n_k: int):
 
 
 def _int8_kernel(x_ref, qw_ref, sc_ref, zp_ref, o_ref, acc_ref, *, n_k: int):
+    """Same post-dot group scaling as the int4 kernel; the MXU consumes the
+    int8 operand directly in a mixed bf16 × int8 dot."""
     kk = pl.program_id(1)
 
     @pl.when(kk == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    w = qw_ref[:].astype(jnp.int32)  # [BK, BN]
-    bk, bn = w.shape
-    g = bk // sc_ref.shape[0]
-    z = jnp.repeat(zp_ref[:].astype(jnp.int32), g, axis=0)
-    s = jnp.repeat(sc_ref[:], g, axis=0).astype(jnp.bfloat16)
-    wf = (w - z).astype(jnp.bfloat16) * s
-    acc_ref[:] += jnp.dot(x_ref[:], wf, preferred_element_type=jnp.float32)
+    w8 = qw_ref[:]  # [BK, BN] int8
+    bk, bn = w8.shape
+    n_g = sc_ref.shape[0]
+    G = bk // n_g
+    m = x_ref.shape[0]
+    w = w8.reshape(n_g, G, bn)
+    x = x_ref[:].reshape(m, n_g, G).transpose(1, 0, 2)
+    dots = jax.lax.dot_general(
+        x, w, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    xsum = jnp.sum(x.astype(jnp.float32), axis=2)
+    s = sc_ref[:].astype(jnp.float32)
+    z = zp_ref[:].astype(jnp.float32)
+    corr = xsum[:, :, None] * z[:, None, :]
+    acc_ref[:] += jnp.sum((dots - corr) * s[:, None, :], axis=0)
 
     @pl.when(kk == n_k - 1)
     def _():
@@ -220,14 +232,19 @@ def quant_matmul(
     block_n = min(block_n, N)
     # The scales/zeros blocks are [block_k/G, block_n]; Mosaic requires the
     # sublane dim to be a multiple of 8 (or the full array), so k-tiles are
-    # multiples of 8*G — or a single full-K block when K is small.
+    # multiples of 8*G. block_k must also DIVIDE K exactly: a partial tail
+    # tile would feed padding garbage into the accumulation.
     chunk = 8 * G
     if K % chunk == 0 and K > chunk:
-        block_k = max(chunk, (min(block_k, K) // chunk) * chunk)
+        bk = (min(block_k, K) // chunk) * chunk
+        while bk > chunk and K % bk != 0:
+            bk -= chunk
+        block_k = max(bk, chunk)
     else:
         block_k = K
+    assert K % block_k == 0, (K, block_k)
     n_n = pl.cdiv(N, block_n)
-    n_k = pl.cdiv(K, block_k)
+    n_k = K // block_k
 
     qk_rows = block_k // 2 if bits == 4 else block_k
     kernel = _int4_kernel if bits == 4 else _int8_kernel
