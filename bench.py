@@ -26,6 +26,8 @@ def build_model(preset: str):
     from scalellm_tpu.models.common import DecoderModel
     from scalellm_tpu.parallel.config import ParallelConfig
 
+    import os as _os
+    layers_override = int(_os.environ.get("BENCH_LAYERS", 0))
     if preset == "llama31-8b-int4":
         from scalellm_tpu.config import QuantArgs
 
@@ -68,6 +70,8 @@ def build_model(preset: str):
         )
     else:
         raise ValueError(preset)
+    if layers_override:
+        args.n_layers = layers_override
     return DecoderModel(args, ParallelConfig())
 
 

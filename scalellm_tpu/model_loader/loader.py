@@ -95,7 +95,11 @@ class HFModelLoader:
             transform = rule[3] if len(rule) > 3 else None
             compiled.append((re.compile(rx + r"$"), path, transpose, transform))
 
-        shapes = model.param_shapes()
+        shapes = (
+            model.load_param_shapes()
+            if hasattr(model, "load_param_shapes")
+            else model.param_shapes()
+        )
         import ml_dtypes
 
         np_dtype = {
@@ -192,6 +196,8 @@ class HFModelLoader:
             for part in parts[:-1]:
                 node = node.setdefault(part, {})
             node[parts[-1]] = arr
+        if hasattr(model, "fuse_params"):
+            params = model.fuse_params(params)
         return params
 
     @staticmethod

@@ -81,8 +81,10 @@ class DecoderModel:
 
     # ------------------------------------------------------------ param spec
 
-    def param_shapes(self) -> Dict[str, Any]:
-        """GLOBAL (unsharded) shapes, with kv heads padded for replication."""
+    def load_param_shapes(self) -> Dict[str, Any]:
+        """UNFUSED global shapes — the checkpoint-facing layout the loader
+        fills (reference: per-tensor load_state_dict). fuse_params() folds
+        q/k/v and gate/up into the fused layout of param_shapes()."""
         a = self.args
         L, D, V, F = a.n_layers, a.hidden_size, a.vocab_size, a.intermediate_size
         H, Dh = a.n_heads, a.head_dim
@@ -162,6 +164,84 @@ class DecoderModel:
                 shapes["lm_head_bias"] = (V,)
         return shapes
 
+    def param_shapes(self) -> Dict[str, Any]:
+        """Runtime (fused) global shapes: q/k/v fused into qkv_proj and
+        gate/up into gate_up_proj (reference: qkv_parallel_linear.h:17,
+        multi_parallel_linear.h:73) — one projection launch instead of
+        three/two on the per-layer critical path."""
+        a = self.args
+        shapes = self.load_param_shapes()
+        layers = shapes["layers"]
+        L, D = a.n_layers, a.hidden_size
+        H, Dh = a.n_heads, a.head_dim
+        Hkv = self.n_local_kv_heads * self.parallel.tp_size
+        fused_n = (H + 2 * Hkv) * Dh
+
+        def fuse_proj(paths, n_total):
+            first = layers[paths[0]]
+            for pth in paths:
+                del layers[pth]
+            if isinstance(first, dict):
+                return {
+                    "qweight": (L, first["qweight"][1], n_total),
+                    "scales": (L, first["scales"][1], n_total),
+                    "zeros": (L, first["zeros"][1], n_total),
+                }
+            return (L, first[1], n_total)
+
+        layers["qkv_proj"] = fuse_proj(["q_proj", "k_proj", "v_proj"], fused_n)
+        if a.qkv_bias:
+            for pth in ("q_bias", "k_bias", "v_bias"):
+                del layers[pth]
+            layers["qkv_bias"] = (L, fused_n)
+        if a.mlp_gated and "gate_proj" in layers:
+            F = layers["up_proj"][2] if not isinstance(layers["up_proj"], dict) else layers["up_proj"]["qweight"][2]
+            layers["gate_up_proj"] = fuse_proj(["gate_proj", "up_proj"], 2 * F)
+            if a.mlp_bias:
+                del layers["gate_bias"], layers["up_bias"]
+                layers["gate_up_bias"] = (L, 2 * F)
+        return shapes
+
+    def fuse_params(self, params: Dict[str, Any]) -> Dict[str, Any]:
+        """Concatenate q/k/v (and gate/up) host arrays into the fused layout,
+        interleaved per tp shard so each shard's slice is [q_s|k_s|v_s]
+        (Megatron fused-qkv layout; reference: qkv weight loading slices)."""
+        import numpy as np
+
+        a = self.args
+        layers = params["layers"]
+        tp = self.parallel.tp_size
+
+        def interleave(parts):
+            """parts: list of arrays with the fused dim LAST; concat per-shard."""
+            if tp == 1:
+                cat = np.concatenate
+                return cat(parts, axis=-1)
+            shards = []
+            for s_i in range(tp):
+                for part in parts:
+                    n = part.shape[-1] // tp
+                    shards.append(part[..., s_i * n : (s_i + 1) * n])
+            return np.concatenate(shards, axis=-1)
+
+        def fuse(paths, out_name):
+            vals = [layers.pop(p) for p in paths]
+            if isinstance(vals[0], dict):
+                layers[out_name] = {
+                    k: interleave([v[k] for v in vals]) for k in vals[0]
+                }
+            else:
+                layers[out_name] = interleave(vals)
+
+        fuse(["q_proj", "k_proj", "v_proj"], "qkv_proj")
+        if a.qkv_bias:
+            fuse(["q_bias", "k_bias", "v_bias"], "qkv_bias")
+        if a.mlp_gated and "gate_proj" in layers:
+            fuse(["gate_proj", "up_proj"], "gate_up_proj")
+            if a.mlp_bias:
+                fuse(["gate_bias", "up_bias"], "gate_up_bias")
+        return params
+
     def param_partition_specs(self) -> Dict[str, Any]:
         """PartitionSpec per param for the tp mesh axis (Megatron layout):
         qkv/gate/up column-parallel (output dim sharded), o/down row-parallel
@@ -188,11 +268,22 @@ class DecoderModel:
 
         layers: Dict[str, Any] = {
             "input_norm": P(None, None),
-            "q_proj": proj_spec(False),  # column-parallel
-            "k_proj": proj_spec(False),
-            "v_proj": proj_spec(False),
+            "qkv_proj": proj_spec(False),  # column-parallel (shard-interleaved)
             "o_proj": proj_spec(True),  # row-parallel
         }
+        def mlp_specs():
+            layers["down_proj"] = proj_spec(True)
+            if a.mlp_gated:
+                layers["gate_up_proj"] = proj_spec(False)
+                if a.mlp_bias:
+                    layers["gate_up_bias"] = P(None, tp)
+            else:
+                layers["up_proj"] = proj_spec(False)
+                if a.mlp_bias:
+                    layers["up_bias"] = P(None, tp)
+            if a.mlp_bias:
+                layers["down_bias"] = P(None, None)
+
         if a.n_experts > 0:
             layers["router"] = P(None, None, None)
             # expert FFN dim sharded over tp (column for gate/up, row for down)
@@ -200,32 +291,19 @@ class DecoderModel:
             layers["moe_up"] = P(None, None, None, tp)
             layers["moe_down"] = P(None, None, tp, None)
             if a.moe_shared_intermediate > 0:
-                layers["up_proj"] = proj_spec(False)
-                layers["down_proj"] = proj_spec(True)
-                if a.mlp_gated:
-                    layers["gate_proj"] = proj_spec(False)
+                mlp_specs()
                 layers["shared_gate"] = P(None, None, None)
         else:
-            layers["up_proj"] = proj_spec(False)
-            layers["down_proj"] = proj_spec(True)
-            if a.mlp_gated:
-                layers["gate_proj"] = proj_spec(False)
+            mlp_specs()
         if not a.parallel_residual:
             layers["post_norm"] = P(None, None)
         if a.residual_post_layernorm:
             layers["post_attn_norm"] = P(None, None)
             layers["post_ffw_norm"] = P(None, None)
         if a.qkv_bias:
-            layers["q_bias"] = P(None, tp)
-            layers["k_bias"] = P(None, tp)
-            layers["v_bias"] = P(None, tp)
+            layers["qkv_bias"] = P(None, tp)
         if a.o_proj_bias:
             layers["o_bias"] = P(None, None)  # row-parallel bias: replicated
-        if a.mlp_bias:
-            layers["up_bias"] = P(None, tp)
-            layers["down_bias"] = P(None, None)
-            if a.mlp_gated:
-                layers["gate_bias"] = P(None, tp)
         if a.norm_bias:
             layers["input_norm_bias"] = P(None, None)
             if not a.parallel_residual:
@@ -381,16 +459,19 @@ class DecoderModel:
             )
 
         def dense_ffn(lp, x):
-            """Gated/plain FFN, pre-psum partial result."""
-            u = self._proj(x, lp["up_proj"])
-            if a.mlp_bias:
-                u = u + lp["up_bias"].astype(jnp.float32)
+            """Gated/plain FFN, pre-psum partial result. Gated path uses the
+            fused gate_up projection (one launch)."""
             if a.mlp_gated:
-                g = self._proj(x, lp["gate_proj"])
+                gu = self._proj(x, lp["gate_up_proj"])
                 if a.mlp_bias:
-                    g = g + lp["gate_bias"].astype(jnp.float32)
+                    gu = gu + lp["gate_up_bias"].astype(jnp.float32)
+                F_local = gu.shape[-1] // 2
+                g, u = gu[:, :F_local], gu[:, F_local:]
                 m = act_with_mul(a.hidden_act, g, u).astype(x.dtype)
             else:
+                u = self._proj(x, lp["up_proj"])
+                if a.mlp_bias:
+                    u = u + lp["up_bias"].astype(jnp.float32)
                 m = ACT2FN[a.hidden_act](u).astype(x.dtype)
             return self._proj(m, lp["down_proj"])
 
@@ -435,15 +516,16 @@ class DecoderModel:
             else:
                 lp, kvc, window_flag = xs
 
-            # ---- attention
+            # ---- attention (fused qkv: one projection launch)
             x = self._norm(h, lp["input_norm"], lp.get("input_norm_bias"))
-            q = self._proj(x, lp["q_proj"])
-            k = self._proj(x, lp["k_proj"])
-            v = self._proj(x, lp["v_proj"])
+            qkv = self._proj(x, lp["qkv_proj"])
             if a.qkv_bias:
-                q = q + lp["q_bias"].astype(jnp.float32)
-                k = k + lp["k_bias"].astype(jnp.float32)
-                v = v + lp["v_bias"].astype(jnp.float32)
+                qkv = qkv + lp["qkv_bias"].astype(jnp.float32)
+            q_n = H_local * Dh
+            kv_n = Hkv_local * Dh
+            q = qkv[:, :q_n]
+            k = qkv[:, q_n : q_n + kv_n]
+            v = qkv[:, q_n + kv_n :]
             T = q.shape[0]
             q = q.astype(h.dtype).reshape(T, H_local, Dh)
             k = k.astype(h.dtype).reshape(T, Hkv_local, Dh)
