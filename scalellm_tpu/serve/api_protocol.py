@@ -56,6 +56,7 @@ class CompletionRequest:
     user: Optional[str] = None
     ignore_eos: bool = False
     skip_special_tokens: bool = True
+    priority: str = "normal"  # "high" | "normal" | "low"
 
     @classmethod
     def from_json(cls, d: Dict[str, Any]) -> "CompletionRequest":
@@ -91,6 +92,14 @@ class CompletionRequest:
             user=_get(d, "user", str),
             ignore_eos=_get(d, "ignore_eos", bool, False),
             skip_special_tokens=_get(d, "skip_special_tokens", bool, True),
+            priority=_get(d, "priority", str, "normal"),
+        )
+
+    def to_priority(self):
+        from scalellm_tpu.request.output import Priority
+
+        return {"high": Priority.HIGH, "low": Priority.LOW}.get(
+            self.priority, Priority.NORMAL
         )
 
     def to_sampling_params(self) -> SamplingParams:
@@ -140,6 +149,7 @@ class ChatCompletionRequest:
     user: Optional[str] = None
     ignore_eos: bool = False
     skip_special_tokens: bool = True
+    priority: str = "normal"
 
     @classmethod
     def from_json(cls, d: Dict[str, Any]) -> "ChatCompletionRequest":
@@ -174,6 +184,14 @@ class ChatCompletionRequest:
             user=_get(d, "user", str),
             ignore_eos=_get(d, "ignore_eos", bool, False),
             skip_special_tokens=_get(d, "skip_special_tokens", bool, True),
+            priority=_get(d, "priority", str, "normal"),
+        )
+
+    def to_priority(self):
+        from scalellm_tpu.request.output import Priority
+
+        return {"high": Priority.HIGH, "low": Priority.LOW}.get(
+            self.priority, Priority.NORMAL
         )
 
     def to_sampling_params(self) -> SamplingParams:

@@ -58,6 +58,15 @@ class ApiServer:
         async def metrics(req: Request):
             return Response.text(export_prometheus(), content_type="text/plain; version=0.0.4")
 
+        @http.route("GET", "/config")
+        async def config(req: Request):
+            """Engine/handler option introspection (the reference's /gflags
+            analog, main.cpp:152)."""
+            import dataclasses
+
+            opts = dataclasses.asdict(self.engine._handler.options)
+            return Response.json(opts)
+
         @http.route("GET", "/v1/models")
         async def models(req: Request):
             return Response.json(

@@ -38,7 +38,7 @@ async def generate_chat_response(
 ) -> Response:
     sp = req.to_sampling_params()
     request_id = f"chatcmpl-{uuid.uuid4().hex[:24]}"
-    stream = await engine.schedule_chat_async(_messages(req), sp, stream=False)
+    stream = await engine.schedule_chat_async(_messages(req), sp, priority=req.to_priority(), stream=False)
     choices = []
     usage = {}
     async for out in stream:
@@ -78,7 +78,7 @@ async def generate_chat_stream(
     sp = req.to_sampling_params()
     request_id = f"chatcmpl-{uuid.uuid4().hex[:24]}"
     try:
-        stream = await engine.schedule_chat_async(_messages(req), sp, stream=True)
+        stream = await engine.schedule_chat_async(_messages(req), sp, priority=req.to_priority(), stream=True)
         first = True
         async for out in stream:
             for so in out.outputs:

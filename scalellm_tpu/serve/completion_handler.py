@@ -51,7 +51,7 @@ async def generate_completion_response(
     all_choices = []
     usage = {"prompt_tokens": 0, "completion_tokens": 0, "total_tokens": 0}
     for prompt in prompts:
-        stream = await engine.schedule_async(prompt, sp, stream=False)
+        stream = await engine.schedule_async(prompt, sp, priority=req.to_priority(), stream=False)
         async for out in stream:
             if out.finished:
                 for so in out.outputs:
@@ -82,7 +82,7 @@ async def generate_completion_stream(
     request_id = f"cmpl-{uuid.uuid4().hex[:24]}"
     include_lp = req.logprobs is not None
     try:
-        stream = await engine.schedule_async(prompt, sp, stream=True)
+        stream = await engine.schedule_async(prompt, sp, priority=req.to_priority(), stream=True)
         async for out in stream:
             for so in out.outputs:
                 chunk = {

@@ -80,6 +80,61 @@ class TransformersTokenizer:
         return self
 
 
+class TiktokenTokenizer:
+    """BPE ranks file tokenizer (reference: tiktoken_tokenizer.h:15 — ranks
+    file + regex pattern via re2; here the official tiktoken package)."""
+
+    DEFAULT_PATTERN = (
+        r"""(?i:'s|'t|'re|'ve|'m|'ll|'d)|[^\r\n\p{L}\p{N}]?\p{L}+|\p{N}{1,3}"""
+        r"""| ?[^\s\p{L}\p{N}]+[\r\n]*|\s*[\r\n]+|\s+(?!\S)|\s+"""
+    )
+
+    def __init__(self, ranks_path: str, pattern: Optional[str] = None,
+                 special_tokens: Optional[dict] = None,
+                 chat_template: Optional[str] = None):
+        import tiktoken
+
+        with open(ranks_path, "rb") as f:
+            ranks = {}
+            for line in f:
+                if not line.strip():
+                    continue
+                import base64
+
+                token_b64, rank = line.split()
+                ranks[base64.b64decode(token_b64)] = int(rank)
+        n = len(ranks)
+        specials = special_tokens or {}
+        self._enc = tiktoken.Encoding(
+            name=os.path.basename(ranks_path),
+            pat_str=pattern or self.DEFAULT_PATTERN,
+            mergeable_ranks=ranks,
+            special_tokens={k: n + i for i, k in enumerate(specials)}
+            if isinstance(specials, (list, tuple))
+            else specials,
+        )
+        self.chat_template = chat_template
+
+    def encode(self, text: str, add_special_tokens: bool = True) -> List[int]:
+        return self._enc.encode(text, disallowed_special=())
+
+    def decode(self, ids: Sequence[int], skip_special_tokens: bool = True) -> str:
+        return self._enc.decode(list(ids))
+
+    def id_to_token(self, token_id: int) -> str:
+        try:
+            return self._enc.decode([int(token_id)])
+        except Exception:
+            return ""
+
+    @property
+    def vocab_size(self) -> int:
+        return self._enc.n_vocab
+
+    def clone(self):
+        return self
+
+
 def load_tokenizer(model_path: str, chat_template: Optional[str] = None):
     """Pick the right backend for a model folder
     (reference: HFModelLoader tokenizer discovery, model_loader.cpp)."""
@@ -91,4 +146,12 @@ def load_tokenizer(model_path: str, chat_template: Optional[str] = None):
                 chat_template = json.load(f).get("chat_template")
     if os.path.exists(tj):
         return HFTokenizer.from_file(tj, chat_template)
+    tiktoken_files = [
+        f for f in os.listdir(model_path) if f.endswith(".tiktoken")
+    ]
+    if tiktoken_files:
+        return TiktokenTokenizer(
+            os.path.join(model_path, tiktoken_files[0]),
+            chat_template=chat_template,
+        )
     return TransformersTokenizer.from_path(model_path)
