@@ -79,6 +79,10 @@ class ModelArgs:
     # gate/up/down param slots hold the shared expert's weights
     moe_shared_intermediate: int = 0
     norm_topk_prob: bool = False
+    # KV cache quantization: "auto" (activation dtype) | "int8"
+    kv_cache_dtype: str = "auto"
+    # static dequant scale for int8 KV (the attention kernel's k/v_scale)
+    kv_scale: float = 0.0625
     # misc
     stop_token_ids: List[int] = field(default_factory=list)
     # weight-only quantization (set by HFModelLoader when the checkpoint

@@ -72,7 +72,9 @@ class Executor:
                 lambda x: jax.device_put(to_dtype(x)), params
             )
         self.kv_cache = None
-        self._kv_dtype = dtype
+        self._kv_dtype = (
+            jnp.int8 if getattr(model, "kv_quant", False) else dtype
+        )
 
     # ---------------------------------------------------------------- kv init
 

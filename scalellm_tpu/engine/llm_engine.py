@@ -47,6 +47,8 @@ class EngineOptions:
     # Speculative decoding.
     draft_model_path: Optional[str] = None
     num_speculative_tokens: int = 0
+    # KV cache quantization: "auto" | "int8"
+    kv_cache_dtype: str = "auto"
 
 
 class LLMEngine:
@@ -80,6 +82,8 @@ class LLMEngine:
             options.model_path, loader.tokenizer_args.chat_template
         )
 
+        if options.kv_cache_dtype != "auto":
+            self.model_args.kv_cache_dtype = options.kv_cache_dtype
         tp = options.tp_size
         if mesh is not None:
             tp = int(mesh.shape.get("tp", tp))
@@ -140,7 +144,11 @@ class LLMEngine:
         """Bytes per KV slot across all layers
         (reference: llm_engine.cpp:378 kv_cache_slot_size_in_bytes)."""
         a = self.model_args
-        dtype_size = {"bfloat16": 2, "float16": 2, "float32": 4}[a.dtype]
+        dtype_size = (
+            1
+            if a.kv_cache_dtype == "int8"
+            else {"bfloat16": 2, "float16": 2, "float32": 4}[a.dtype]
+        )
         n_kv = self.model.n_local_kv_heads * self.model.parallel.tp_size
         head_dim = getattr(self.model, "kv_head_dim", a.head_dim)
         return 2 * a.n_layers * n_kv * head_dim * dtype_size

@@ -58,6 +58,7 @@ class LLMHandlerOptions:
     tp_size: int = 1
     num_blocks: int = 0  # direct override (tests)
     max_context_len: int = 0  # 0 = model's max_position_embeddings
+    kv_cache_dtype: str = "auto"  # "auto" | "int8"
 
 
 class LLMHandler:
@@ -74,6 +75,7 @@ class LLMHandler:
             warmup=options.enable_cuda_graph,
             draft_model_path=options.draft_model_path,
             num_speculative_tokens=options.num_speculative_tokens,
+            kv_cache_dtype=options.kv_cache_dtype,
         )
         if options.draft_model_path:
             from scalellm_tpu.speculative.speculative_engine import SpeculativeEngine

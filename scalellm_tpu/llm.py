@@ -32,6 +32,7 @@ class LLM:
         draft_model: Optional[str] = None,
         tp_size: int = 1,
         num_blocks: int = 0,
+        kv_cache_dtype: str = "auto",
         mesh=None,
     ) -> None:
         options = LLMHandlerOptions(
@@ -48,6 +49,7 @@ class LLM:
             num_handling_threads=num_handling_threads,
             tp_size=tp_size,
             num_blocks=num_blocks,
+            kv_cache_dtype=kv_cache_dtype,
         )
         self._handler = LLMHandler(options, mesh=mesh)
 

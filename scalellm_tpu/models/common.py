@@ -73,6 +73,9 @@ class DecoderModel:
         # KV pages may store zero-padded heads when the attention backend
         # needs a wider lane-aligned head dim (TPU kernel: multiples of 128).
         self.kv_head_dim = kernel_head_dim(args.head_dim)
+        # int8 KV cache: halves KV HBM + bandwidth; pages dequantized by the
+        # attention kernel's static k/v scales (see PAPERS.md kv-quant line).
+        self.kv_quant = args.kv_cache_dtype == "int8"
         # Weight-only quantization of the 7 projection matrices
         # (reference: QLinearImpl selection by QuantArgs, quant_args.h:10-33).
         self.quant = args.quant_args if (args.quant_args and args.quant_args.enabled) else None
@@ -445,6 +448,8 @@ class DecoderModel:
         windows = self._layer_windows()
         soft_cap = a.attn_logit_soft_cap if a.attn_logit_soft_cap > 0 else None
 
+        kv_scale = a.kv_scale if self.kv_quant else None
+
         def attend(q, kvc, window):
             return self.attn_impl(
                 q,
@@ -456,6 +461,8 @@ class DecoderModel:
                 sm_scale=sm_scale,
                 sliding_window=window,
                 logit_soft_cap=soft_cap,
+                k_scale=kv_scale,
+                v_scale=kv_scale,
             )
 
         def dense_ffn(lp, x):
@@ -543,7 +550,9 @@ class DecoderModel:
                 k = jnp.pad(k, pad)
                 v = jnp.pad(v, pad)
 
-            kvc = set_kv_cache(kvc, k, v, mi.new_kv_slot_ids)
+            kvc = set_kv_cache(
+                kvc, k, v, mi.new_kv_slot_ids, k_scale=kv_scale, v_scale=kv_scale
+            )
 
             if windows is None:
                 o = attend(q, kvc, a.sliding_window or None)

@@ -64,6 +64,8 @@ def ragged_paged_attention(
     sm_scale: float = 1.0,
     sliding_window: Optional[int] = None,
     logit_soft_cap: Optional[float] = None,
+    k_scale: Optional[float] = None,
+    v_scale: Optional[float] = None,
     backend: Optional[str] = None,
 ) -> jnp.ndarray:
     backend = backend or _default_backend()
@@ -82,6 +84,8 @@ def ragged_paged_attention(
             sm_scale=sm_scale,
             sliding_window=sliding_window,
             soft_cap=logit_soft_cap,
+            k_scale=k_scale,
+            v_scale=v_scale,
         )
     return ref_ragged_paged_attention(
         q,
@@ -93,4 +97,6 @@ def ragged_paged_attention(
         sm_scale=sm_scale,
         sliding_window=sliding_window,
         logit_soft_cap=logit_soft_cap,
+        k_scale=k_scale,
+        v_scale=v_scale,
     )

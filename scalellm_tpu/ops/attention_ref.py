@@ -37,6 +37,8 @@ def ref_ragged_paged_attention(
     sm_scale: float = 1.0,
     sliding_window: Optional[int] = None,
     logit_soft_cap: Optional[float] = None,
+    k_scale: Optional[float] = None,
+    v_scale: Optional[float] = None,
 ) -> jnp.ndarray:
     T, n_heads, head_dim = q.shape
     S, MAXP = page_indices.shape
@@ -68,6 +70,12 @@ def ref_ragged_paged_attention(
     qf = q.reshape(T, n_kv_heads, group, head_dim).astype(jnp.float32)
     kf = k_tok.astype(jnp.float32)
     vf = v_tok.astype(jnp.float32)
+    # Quantized (int8) KV pages: dequantize with the static scales
+    # (matches the TPU kernel's k_scale/v_scale semantics).
+    if k_scale is not None:
+        kf = kf * k_scale
+    if v_scale is not None:
+        vf = vf * v_scale
 
     scores = jnp.einsum("thgd,tjhd->thgj", qf, kf) * sm_scale
     if logit_soft_cap is not None and logit_soft_cap > 0.0:

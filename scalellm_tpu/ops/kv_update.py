@@ -23,9 +23,16 @@ def set_kv_cache(
     k: jnp.ndarray,  # [T, n_kv_heads, head_dim]
     v: jnp.ndarray,  # [T, n_kv_heads, head_dim]
     slot_ids: jnp.ndarray,  # [T] global slot ids
+    k_scale=None,
+    v_scale=None,
 ) -> jnp.ndarray:
     num_pages, page_size, h2, head_dim = kv_pages.shape
     T, n_kv, _ = k.shape
+    if kv_pages.dtype == jnp.int8:
+        # Quantized KV cache: store round(x / scale) clamped to int8
+        # (dequantized by the attention kernel's k_scale/v_scale).
+        k = jnp.clip(jnp.round(k.astype(jnp.float32) / k_scale), -127, 127)
+        v = jnp.clip(jnp.round(v.astype(jnp.float32) / v_scale), -127, 127)
     # Interleave: combined[t, 2h] = k[t, h]; combined[t, 2h+1] = v[t, h].
     combined = jnp.stack([k, v], axis=2).reshape(T, 2 * n_kv, head_dim)
     flat = kv_pages.reshape(num_pages * page_size, h2, head_dim)

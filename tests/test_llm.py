@@ -115,3 +115,23 @@ def test_stop_string(tiny_model, llm):
     out = llm.generate(["stop test"], sp2)[0].outputs[0]
     assert out.token_ids == base[:2]
     assert out.finish_reason is not None
+
+
+def test_int8_kv_cache_generate(tiny_model):
+    """int8 KV cache: greedy generation stays close to the float path (the
+    first tokens match with an appropriate static scale)."""
+    from scalellm_tpu import LLM, SamplingParams
+
+    sp = SamplingParams(max_tokens=4, temperature=0.0, ignore_eos=True)
+    ref = LLM(tiny_model, block_size=4, num_blocks=256, enable_cuda_graph=False)
+    expected = ref.generate(["hello world"], sp)[0].outputs[0].token_ids
+    del ref
+
+    q = LLM(
+        tiny_model, block_size=4, num_blocks=256, enable_cuda_graph=False,
+        kv_cache_dtype="int8",
+    )
+    # tiny random model: k/v values are small; use a fine-grained scale
+    q._handler.engine.model_args.kv_scale = 0.005
+    got = q.generate(["hello world"], sp)[0].outputs[0].token_ids
+    assert got == expected
