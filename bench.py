@@ -113,7 +113,9 @@ def run_decode_bench(preset: str, batch: int, steps: int, page_size: int = 16):
     a = model.args
     import os
 
-    if os.environ.get("BENCH_FAST_INIT"):
+    if os.environ.get("BENCH_FAST_INIT") or preset == "llama31-8b-int4":
+        # 8B random init costs minutes over the tunnel; zero weights time
+        # identically (quantized values don't affect the memory path).
         # Zero weights: tokens are meaningless but per-step timing identical.
         def zero_leaf(path, shape):
             name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
@@ -198,6 +200,51 @@ def run_decode_bench(preset: str, batch: int, steps: int, page_size: int = 16):
     return toks_per_s, model
 
 
+def run_prefill_bench(preset: str, T: int = 2048, page_size: int = 16):
+    """Prefill tokens/s at context length T (TTFT proxy): one ragged-
+    attention prefill pass over a T-token prompt."""
+    import jax
+    import jax.numpy as jnp
+
+    from scalellm_tpu.engine.params import ModelInputs
+
+    model = build_model(preset)
+    key = jax.random.PRNGKey(0)
+    params = model.init_params(key)
+    n_pages = T // page_size + 2
+    kv_cache = jnp.zeros(
+        model.kv_cache_shape(n_pages, page_size),
+        jnp.bfloat16 if model.args.dtype == "bfloat16" else jnp.float32,
+    )
+    mi = ModelInputs(
+        token_ids=jnp.zeros(T, jnp.int32),
+        positions=jnp.arange(T, dtype=jnp.int32),
+        token_seg=jnp.zeros(T, jnp.int32),
+        new_kv_slot_ids=jnp.arange(T, dtype=jnp.int32) + page_size,
+        block_tables=jnp.asarray([[i + 1 for i in range(T // page_size + 1)]], jnp.int32),
+        kv_lens=jnp.asarray([T], jnp.int32),
+        cu_q_lens=jnp.asarray([0, T], jnp.int32),
+        num_seqs=jnp.asarray([1], jnp.int32),
+        selected_idxes=jnp.asarray([T - 1], jnp.int32),
+        seq_mask=jnp.ones(1, jnp.float32),
+    )
+
+    @jax.jit
+    def prefill(params, kv_cache, mi):
+        hidden, new_kv = model.forward(params, kv_cache, mi)
+        return model.logits(params, hidden), new_kv
+
+    logits, kv_cache = prefill(params, kv_cache, mi)
+    jax.block_until_ready(logits)
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        logits, kv_cache = prefill(params, kv_cache, mi)
+    jax.block_until_ready(logits)
+    dt = (time.perf_counter() - t0) / reps
+    return T / dt, dt
+
+
 def main():
     import jax
 
@@ -225,6 +272,19 @@ def main():
         }
         headline = result
         print(json.dumps(result), file=sys.stderr)
+        if on_tpu and preset == "tinyllama-1.1b":
+            pre_tps, pre_dt = run_prefill_bench(preset)
+            print(
+                json.dumps(
+                    {
+                        "metric": f"prefill_tokens_per_s_{preset}_T2048",
+                        "value": round(pre_tps, 1),
+                        "unit": "tokens/s",
+                        "ttft_s": round(pre_dt, 4),
+                    }
+                ),
+                file=sys.stderr,
+            )
     print(json.dumps(headline))
 
 

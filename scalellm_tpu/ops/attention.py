@@ -74,6 +74,12 @@ def ragged_paged_attention(
             ragged_paged_attention as tpu_kernel,
         )
 
+        # Large prefills need more than the default 16MB scoped VMEM
+        # budget (q alone is T*H*D*2 bytes); v5e/v6e have 128MB VMEM.
+        vmem_limit = None
+        q_bytes = q.shape[0] * q.shape[1] * q.shape[2] * 2
+        if q_bytes > 4 * 1024 * 1024:
+            vmem_limit = 100 * 1024 * 1024
         return tpu_kernel(
             q,
             kv_pages,
@@ -86,6 +92,7 @@ def ragged_paged_attention(
             soft_cap=logit_soft_cap,
             k_scale=k_scale,
             v_scale=v_scale,
+            vmem_limit_bytes=vmem_limit,
         )
     return ref_ragged_paged_attention(
         q,

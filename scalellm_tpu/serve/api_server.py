@@ -67,6 +67,24 @@ class ApiServer:
             opts = dataclasses.asdict(self.engine._handler.options)
             return Response.json(opts)
 
+        @http.route("POST", "/profile/start")
+        async def profile_start(req: Request):
+            """Start a jax.profiler trace (SURVEY §5: the TPU answer to the
+            reference's stage-latency-only observability)."""
+            import jax
+
+            body = req.json() if req.body else {}
+            log_dir = body.get("log_dir", "/tmp/scalellm_tpu_profile")
+            jax.profiler.start_trace(log_dir)
+            return Response.json({"status": "tracing", "log_dir": log_dir})
+
+        @http.route("POST", "/profile/stop")
+        async def profile_stop(req: Request):
+            import jax
+
+            jax.profiler.stop_trace()
+            return Response.json({"status": "stopped"})
+
         @http.route("GET", "/v1/models")
         async def models(req: Request):
             return Response.json(

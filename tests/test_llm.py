@@ -135,3 +135,24 @@ def test_int8_kv_cache_generate(tiny_model):
     q._handler.engine.model_args.kv_scale = 0.005
     got = q.generate(["hello world"], sp)[0].outputs[0].token_ids
     assert got == expected
+
+
+def test_chunked_prefill_equivalence(tiny_model):
+    """A small max_tokens_per_batch forces multi-chunk prefill; output must
+    equal the single-shot prefill path (reference: chunked prefill falls out
+    of per-seq token budgets, continuous_scheduler.cpp:163-175)."""
+    from scalellm_tpu import LLM, SamplingParams
+
+    prompt = "the quick brown fox jumps over the lazy dog"  # 43 tokens
+    sp = SamplingParams(max_tokens=6, temperature=0.0, ignore_eos=True)
+
+    base = LLM(tiny_model, block_size=4, num_blocks=256, enable_cuda_graph=False)
+    expected = base.generate([prompt], sp)[0].outputs[0].token_ids
+    del base
+
+    chunked = LLM(
+        tiny_model, block_size=4, num_blocks=256, enable_cuda_graph=False,
+        max_tokens_per_batch=16,  # prefill in ~3 chunks
+    )
+    got = chunked.generate([prompt], sp)[0].outputs[0].token_ids
+    assert got == expected
