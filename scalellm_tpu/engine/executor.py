@@ -111,7 +111,10 @@ class Executor:
             return jax.jit(step, donate_argnums=(1,))
 
         # TP: shard_map with explicit collectives inside the model.
-        from jax.experimental.shard_map import shard_map
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
 
         pspecs = model.param_partition_specs()
         kv_spec = model.kv_cache_partition_spec()

@@ -57,17 +57,28 @@ def _grouped_matmul(xs: jnp.ndarray, w: jnp.ndarray, group_sizes: jnp.ndarray):
 
 def moe_mlp(
     x: jnp.ndarray,  # [T, D]
-    router_w: jnp.ndarray,  # [D, E]
-    gate_w: jnp.ndarray,  # [E, D, F]
-    up_w: jnp.ndarray,  # [E, D, F]
-    down_w: jnp.ndarray,  # [E, F, D]
+    router_w: jnp.ndarray,  # [D, E] (full) — router is replicated
+    gate_w: jnp.ndarray,  # [E_local, D, F]
+    up_w: jnp.ndarray,  # [E_local, D, F]
+    down_w: jnp.ndarray,  # [E_local, F, D]
     top_k: int,
     norm_topk_prob: bool = False,
     act=jax.nn.silu,
+    ep_axis=None,
 ) -> jnp.ndarray:
-    """Returns [T, D] in f32 (pre-psum for tensor parallelism)."""
+    """Returns [T, D] in f32 (pre-psum partial result under parallelism).
+
+    Expert parallelism: when ep_axis is set, each shard holds E/ep experts
+    (the expert dim of the stacked weights is sharded) and computes only the
+    tokens routed to ITS experts; the caller's psum combines shards. With
+    replicated activations this needs NO all_to_all at all — a strictly
+    simpler dispatch than the reference's AlltoAllTokenDispatcher
+    (alltoall_token_dispatcher.h:12), which exists because its activations
+    are not replicated across expert ranks.
+    """
     T, D = x.shape
     E = router_w.shape[-1]
+    E_local = gate_w.shape[0]
 
     logits = jnp.dot(x.astype(jnp.float32), router_w.astype(jnp.float32))
     probs = jax.nn.softmax(logits, axis=-1)  # [T, E]
@@ -80,19 +91,36 @@ def moe_mlp(
     # Dispatch: flatten (token, slot) pairs, sort by expert id
     # (reference: permutation.{h,cpp} sort-by-expert indices).
     flat_e = topk_e.reshape(-1)  # [T*k]
+    flat_w = topk_w.reshape(-1)
+    if ep_axis is not None and E_local != E:
+        # Keep only this shard's experts: remap [lo, hi) → [0, E_local) and
+        # zero the weights of remote-expert slots (they route past E_local
+        # into an ignored overflow group).
+        shard = jax.lax.axis_index(ep_axis)
+        lo = shard * E_local
+        local = flat_e - lo
+        in_range = (local >= 0) & (local < E_local)
+        flat_e = jnp.where(in_range, local, E_local)
+        flat_w = jnp.where(in_range, flat_w, 0.0)
     order = jnp.argsort(flat_e)  # stable
     token_of = order // top_k  # originating token per sorted row
     xs = x[token_of]  # [T*k, D]
-    group_sizes = jnp.bincount(flat_e, length=E).astype(jnp.int32)
+    group_sizes = jnp.bincount(flat_e, length=E_local).astype(jnp.int32)
 
-    # Expert FFN via grouped matmul.
+    # Expert FFN via grouped matmul (rows past the last real group fall in
+    # the overflow region and are zero-weighted at combine).
     g = _grouped_matmul(xs, gate_w, group_sizes)
     u = _grouped_matmul(xs, up_w, group_sizes)
     h = (act(g) * u).astype(x.dtype)
     y = _grouped_matmul(h, down_w, group_sizes)  # [T*k, D]
 
-    # Combine: weight by router prob and scatter-add back to tokens.
-    w_sorted = topk_w.reshape(-1)[order]  # [T*k]
+    # Combine: weight by router prob and scatter-add back to tokens. Rows
+    # past the last real group (remote-expert overflow) are uncovered by the
+    # grouped matmul — mask them explicitly (0 * garbage could be NaN).
+    w_sorted = flat_w[order]  # [T*k]
+    covered = jnp.sum(group_sizes)
+    row_idx = jnp.arange(y.shape[0])
+    y = jnp.where((row_idx < covered)[:, None], y, 0.0)
     y = y * w_sorted[:, None]
     out = jnp.zeros((T, y.shape[-1]), jnp.float32).at[token_of].add(y)
     return out

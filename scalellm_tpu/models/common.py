@@ -81,6 +81,12 @@ class DecoderModel:
         self.quant = args.quant_args if (args.quant_args and args.quant_args.enabled) else None
         if self.quant:
             assert self.quant.bits in (4, 8), self.quant.bits
+        # MoE expert parallelism: shard the EXPERT dim over the tp axis when
+        # it divides evenly (each shard computes only its experts — see
+        # layers/moe.py); falls back to sharding the expert FFN dim.
+        self.moe_expert_sharded = (
+            args.n_experts > 0 and tp > 1 and args.n_experts % tp == 0
+        )
 
     # ------------------------------------------------------------ param spec
 
@@ -289,10 +295,16 @@ class DecoderModel:
 
         if a.n_experts > 0:
             layers["router"] = P(None, None, None)
-            # expert FFN dim sharded over tp (column for gate/up, row for down)
-            layers["moe_gate"] = P(None, None, None, tp)
-            layers["moe_up"] = P(None, None, None, tp)
-            layers["moe_down"] = P(None, None, tp, None)
+            if self.moe_expert_sharded:
+                # expert-parallel: experts sharded, FFN dims full
+                layers["moe_gate"] = P(None, tp, None, None)
+                layers["moe_up"] = P(None, tp, None, None)
+                layers["moe_down"] = P(None, tp, None, None)
+            else:
+                # expert FFN dim sharded (column for gate/up, row for down)
+                layers["moe_gate"] = P(None, None, None, tp)
+                layers["moe_up"] = P(None, None, None, tp)
+                layers["moe_down"] = P(None, None, tp, None)
             if a.moe_shared_intermediate > 0:
                 mlp_specs()
                 layers["shared_gate"] = P(None, None, None)
@@ -495,6 +507,7 @@ class DecoderModel:
                     a.n_experts_per_token,
                     a.norm_topk_prob,
                     ACT2FN[a.hidden_act],
+                    ep_axis=tp_axis if self.moe_expert_sharded else None,
                 )
                 if a.moe_shared_intermediate > 0:
                     gate = jax.nn.sigmoid(
