@@ -157,7 +157,7 @@ class Executor:
             mesh=self.mesh,
             in_specs=(pspecs, kv_spec, mi_specs, si_specs),
             out_specs=out_specs,
-            check_rep=False,
+            check_vma=False,
         )
         return jax.jit(sharded, donate_argnums=(1,))
 
