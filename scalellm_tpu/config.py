@@ -70,6 +70,17 @@ class ModelArgs:
     zero_centered_norm: bool = False
     # gemma2 extras
     query_pre_attn_scalar: float = 0.0
+    # DeepSeek MLA attention (deepseek_v2)
+    q_lora_rank: Optional[int] = None
+    kv_lora_rank: int = 0  # 0 = standard attention (no MLA)
+    qk_nope_head_dim: int = 0
+    qk_rope_head_dim: int = 0
+    v_head_dim: int = 0
+    first_k_dense_replace: int = 0
+    routed_scaling_factor: float = 1.0
+    topk_method: str = "greedy"  # "greedy" | "group_limited_greedy"
+    n_group: int = 0
+    topk_group: int = 0
     # MoE (qwen-moe / mixtral / deepseek style)
     n_experts: int = 0
     n_experts_per_token: int = 0

@@ -93,7 +93,10 @@ class HFModelLoader:
         for rule in rules:
             rx, path, transpose = rule[:3]
             transform = rule[3] if len(rule) > 3 else None
-            compiled.append((re.compile(rx + r"$"), path, transpose, transform))
+            index_map = rule[4] if len(rule) > 4 else None
+            compiled.append(
+                (re.compile(rx + r"$"), path, transpose, transform, index_map)
+            )
 
         shapes = (
             model.load_param_shapes()
@@ -135,15 +138,23 @@ class HFModelLoader:
 
         from safetensors import safe_open
 
-        def store(path, m, tensor):
+        def store(path, m, tensor, index_map=None) -> bool:
+            """Returns False when the rule's index_map rejects this tensor
+            (the match loop then tries later rules — e.g. deepseek routes a
+            layer tensor into either the dense or the moe stack)."""
             if path == "lm_head" and args.tie_word_embeddings:
-                return
+                return True
             if any(path.startswith(kp) for kp in kv_paths) and kv_rep > 1:
                 tensor = self._replicate_kv_heads(tensor, kv_rep, args.head_dim)
             dt = leaf_dtype(path)
             # Regex groups give the leading indices: (layer,) for per-layer
-            # tensors, (layer, expert) for MoE expert tensors.
+            # tensors, (layer, expert) for MoE expert tensors; index_map
+            # remaps them.
             idx = tuple(int(g) for g in m.groups() if g is not None)
+            if index_map is not None:
+                idx = index_map(idx)
+                if idx is None:
+                    return False
             ensure_buf(path, len(idx))
             if idx:
                 bufs[path][idx] = tensor.astype(dt, copy=False)
@@ -151,32 +162,32 @@ class HFModelLoader:
             else:
                 bufs[path][...] = tensor.astype(dt, copy=False)
                 filled[path][0] = True
+            return True
 
         for wf in self.weight_files:
             with safe_open(wf, framework="numpy") as f:
                 for name in f.keys():
-                    hit = None
-                    for rx, path, transpose, transform in compiled:
+                    raw = None
+                    for rx, path, transpose, transform, index_map in compiled:
                         m = rx.match(name)
-                        if m:
-                            hit = (m, path, transpose, transform)
-                            break
-                    if hit is None:
-                        continue
-                    m, path, transpose, transform = hit
-                    tensor = f.get_tensor(name)
-                    if transpose:
-                        tensor = tensor.T
-                    if transform is not None:
-                        tensor = transform(tensor)
-                    if isinstance(path, (tuple, list)):
-                        # Fused checkpoint tensor (e.g. gpt2 c_attn) → split
-                        # equally along the output dim into the listed params.
-                        pieces = np.split(tensor, len(path), axis=-1)
-                        for sub_path, piece in zip(path, pieces):
-                            store(sub_path, m, piece)
-                    else:
-                        store(path, m, tensor)
+                        if m is None:
+                            continue
+                        if raw is None:
+                            raw = f.get_tensor(name)
+                        tensor = raw.T if transpose else raw
+                        if transform is not None:
+                            tensor = transform(tensor)
+                        if isinstance(path, (tuple, list)):
+                            # Fused checkpoint tensor (e.g. gpt2 c_attn) →
+                            # split equally along the output dim.
+                            pieces = np.split(tensor, len(path), axis=-1)
+                            accepted = True
+                            for sub_path, piece in zip(path, pieces):
+                                accepted = store(sub_path, m, piece, index_map) and accepted
+                        else:
+                            accepted = store(path, m, tensor, index_map)
+                        if accepted:
+                            break  # first ACCEPTING rule wins
 
         if verify:
             expected = _leaf_paths(shapes)

@@ -68,6 +68,17 @@ FAMILIES = {
              norm_topk_prob=False, decoder_sparse_step=1, mlp_only_layers=[],
              tie_word_embeddings=False),
     ),
+    "deepseek_v2": (
+        "DeepseekV2Config", "DeepseekV2ForCausalLM",
+        dict(vocab_size=128, hidden_size=64, intermediate_size=96,
+             num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=4,
+             max_position_embeddings=256, q_lora_rank=24, kv_lora_rank=16,
+             qk_nope_head_dim=16, qk_rope_head_dim=8, v_head_dim=16,
+             first_k_dense_replace=1, n_routed_experts=4,
+             num_experts_per_tok=2, moe_intermediate_size=32,
+             n_shared_experts=1, topk_method="greedy",
+             routed_scaling_factor=1.0, tie_word_embeddings=False),
+    ),
     "mistral": (
         "MistralConfig", "MistralForCausalLM",
         dict(vocab_size=128, hidden_size=64, intermediate_size=128,
