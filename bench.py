@@ -273,6 +273,20 @@ def main():
         headline = result
         print(json.dumps(result), file=sys.stderr)
         if on_tpu and preset == "tinyllama-1.1b":
+            # Batched decode: shows continuous-batching scale-up (weights
+            # amortize across lanes; near-free until compute-bound).
+            for b in (8, 32):
+                tps_b, _ = run_decode_bench(preset, b, steps)
+                print(
+                    json.dumps(
+                        {
+                            "metric": f"decode_tokens_per_s_{preset}_b{b}",
+                            "value": round(tps_b, 1),
+                            "unit": "tokens/s",
+                        }
+                    ),
+                    file=sys.stderr,
+                )
             pre_tps, pre_dt = run_prefill_bench(preset)
             print(
                 json.dumps(

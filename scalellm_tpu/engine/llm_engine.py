@@ -49,6 +49,10 @@ class EngineOptions:
     num_speculative_tokens: int = 0
     # KV cache quantization: "auto" | "int8"
     kv_cache_dtype: str = "auto"
+    # Persistent XLA compilation cache dir ("" = env SCALELLM_COMPILE_CACHE
+    # or disabled). Buckets compile once ever, not once per process — warm
+    # restarts skip all jit compiles.
+    compilation_cache_dir: str = ""
 
 
 class LLMEngine:
@@ -72,6 +76,17 @@ class LLMEngine:
         self.mesh = mesh
         self._extra_kv_slot_bytes = extra_kv_slot_bytes
         t0 = time.monotonic()
+
+        import os
+
+        cache_dir = options.compilation_cache_dir or os.environ.get(
+            "SCALELLM_COMPILE_CACHE", ""
+        )
+        if cache_dir:
+            import jax
+
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
         # ---- load model metadata (reference: llm_engine.cpp:133 init_model)
         loader = HFModelLoader(options.model_path)
