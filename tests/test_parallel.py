@@ -65,3 +65,17 @@ def test_tp_matches_single_device(tmp_path, family, tp):
     single = _greedy_step(d, None, 1)
     sharded = _greedy_step(d, _mesh(tp), tp)
     assert single == sharded
+
+
+def test_quantized_tp_matches_single_device(tmp_path):
+    """INT4 checkpoint under TP=2: fused quant params shard-interleave must
+    preserve results."""
+    import tests.fixtures as fixtures
+    import tests.test_quantization as tq
+
+    src = str(tmp_path / "src")
+    fixtures.make_tiny_llama(src, tokenizer=True)
+    qdir, _ = tq._quantize_checkpoint(src, str(tmp_path / "awq"), "awq")
+    single = _greedy_step(qdir, None, 1)
+    sharded = _greedy_step(qdir, _mesh(2), 2)
+    assert single == sharded
