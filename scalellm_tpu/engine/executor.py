@@ -45,7 +45,8 @@ class Executor:
         self.max_top_logprobs = max_top_logprobs
         self._step_compiled: Dict[Tuple[int, ...], Any] = {}
 
-        dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32, "float16": jnp.float16}[
+        # fp16 checkpoints compute as bf16 (no fp16 on the TPU path).
+        dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32, "float16": jnp.bfloat16}[
             model.args.dtype
         ]
 

@@ -40,7 +40,9 @@ from scalellm_tpu.parallel.config import ParallelConfig
 
 
 def _dtype_of(args: ModelArgs):
-    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32, "float16": jnp.float16}[
+    # float16 checkpoints run as bfloat16: the TPU compute path (MXU, Mosaic
+    # kernels) has no fp16 support, and bf16's range supersets fp16's.
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32, "float16": jnp.bfloat16}[
         args.dtype
     ]
 

@@ -79,7 +79,7 @@ class Request:
             self.sequences.append(self._make_sequence(i))
 
     def _make_sequence(self, index: int) -> Sequence:
-        return Sequence(
+        seq = Sequence(
             index=index,
             token_ids=self.prompt_tokens,
             sampling_params=self.sampling_params,
@@ -87,6 +87,8 @@ class Request:
             prompt=self.prompt,
             echo=self.sampling_params.echo,
         )
+        seq.request = self  # backref for O(1) scheduler lookups
+        return seq
 
     # ------------------------------------------------------------- expansion
 

@@ -260,13 +260,10 @@ class ContinuousScheduler:
         touched = []
         seen = set()
         for e in batch.entries:
-            # find owning request via sequence — map maintained on requests
-            pass
-        for req in self._requests:
-            if any(e.seq in req.sequences for e in batch.entries):
-                if id(req) not in seen:
-                    seen.add(id(req))
-                    touched.append(req)
+            req = getattr(e.seq, "request", None)
+            if req is not None and id(req) not in seen:
+                seen.add(id(req))
+                touched.append(req)
         for req in touched:
             # Release blocks of finished sequences early
             # (reference: build_sequence_batch releases finished seqs).
