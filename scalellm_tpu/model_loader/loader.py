@@ -17,6 +17,7 @@ reference: causal_lm.h:76-82).
 from __future__ import annotations
 
 import json
+import logging
 import os
 import re
 from typing import Any, Dict, List, Optional, Tuple
@@ -25,6 +26,9 @@ import numpy as np
 
 from scalellm_tpu.config import ModelArgs, QuantArgs, TokenizerArgs
 from scalellm_tpu.models.registry import ModelRegistry
+
+
+logger = logging.getLogger(__name__)
 
 
 class HFModelLoader:
@@ -164,9 +168,13 @@ class HFModelLoader:
                 filled[path][0] = True
             return True
 
+        unmatched = []
         for wf in self.weight_files:
             with safe_open(wf, framework="numpy") as f:
                 for name in f.keys():
+                    matched_any = any(rx.match(name) for rx, *_ in compiled)
+                    if not matched_any:
+                        unmatched.append(name)
                     raw = None
                     for rx, path, transpose, transform, index_map in compiled:
                         m = rx.match(name)
@@ -189,6 +197,12 @@ class HFModelLoader:
                         if accepted:
                             break  # first ACCEPTING rule wins
 
+        if unmatched:
+            logger.warning(
+                "%d checkpoint tensors matched no weight rule (e.g. %s)",
+                len(unmatched),
+                ", ".join(unmatched[:5]),
+            )
         if verify:
             expected = _leaf_paths(shapes)
             missing = [

@@ -106,3 +106,24 @@ def test_speculative_greedy_matches_plain(tiny_model):
     accepted = COUNTERS.get("num_accepted_tokens_total")
     assert drafted > 0
     assert accepted >= drafted  # k accepted + bonus each step
+
+
+def test_speculative_concurrent_requests(tiny_model):
+    """Several concurrent spec requests through the scheduler (mixed
+    prefill/decode steps exercise the non-speculative fallback path too)."""
+    from scalellm_tpu import LLM, SamplingParams
+
+    sp = SamplingParams(max_tokens=6, temperature=0.0, ignore_eos=True)
+    plain = LLM(tiny_model, block_size=4, num_blocks=512, enable_cuda_graph=False)
+    prompts = ["hello world", "abc", "the quick brown fox"]
+    expected = [o.outputs[0].token_ids for o in plain.generate(prompts, sp)]
+    del plain
+
+    spec = LLM(
+        tiny_model, draft_model=tiny_model, num_speculative_tokens=2,
+        block_size=4, num_blocks=512, enable_cuda_graph=False,
+        max_tokens_per_batch=512, max_seqs_per_batch=8,
+    )
+    outs = spec.generate(prompts, sp)
+    got = [o.outputs[0].token_ids for o in outs]
+    assert got == expected
