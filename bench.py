@@ -272,6 +272,18 @@ def main():
         }
         headline = result
         print(json.dumps(result), file=sys.stderr)
+        if on_tpu and preset == "llama31-8b-int4":
+            tps8, _ = run_decode_bench(preset, 8, steps)
+            print(
+                json.dumps(
+                    {
+                        "metric": f"decode_tokens_per_s_{preset}_b8",
+                        "value": round(tps8, 1),
+                        "unit": "tokens/s",
+                    }
+                ),
+                file=sys.stderr,
+            )
         if on_tpu and preset == "tinyllama-1.1b":
             # Batched decode: shows continuous-batching scale-up (weights
             # amortize across lanes; near-free until compute-bound).

@@ -8,9 +8,9 @@ sort-by-expert permutation feeding the megablox grouped-matmul Pallas kernel
 (jax.experimental.pallas.ops.tpu.megablox.gmm); on CPU a dense mask loop
 serves as the reference implementation.
 
-Expert parallelism (reference: alltoall_token_dispatcher.h:12) maps to
-sharding the expert dim of the stacked expert weights over an `ep` mesh
-axis; this round shards the expert FFN dim over `tp` like the dense MLP.
+Expert parallelism (reference: alltoall_token_dispatcher.h:12) shards the
+expert dim of the stacked expert weights over the mesh axis; each shard
+computes only the tokens routed to its experts (see moe_mlp's ep_axis).
 """
 
 from __future__ import annotations

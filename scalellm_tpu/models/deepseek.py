@@ -19,7 +19,6 @@ MoE) since their parameter sets differ.
 
 from __future__ import annotations
 
-import math
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -30,7 +29,6 @@ from jax.sharding import PartitionSpec as P
 from scalellm_tpu.config import ModelArgs, hf_dtype
 from scalellm_tpu.engine.params import ModelInputs
 from scalellm_tpu.layers.activations import act_with_mul
-from scalellm_tpu.layers.moe import moe_mlp
 from scalellm_tpu.layers.norms import rms_norm
 from scalellm_tpu.layers.rope import apply_rope
 from scalellm_tpu.models.registry import ModelRegistry
@@ -250,9 +248,6 @@ class MLADecoderModel:
     def _moe_ffn(self, lp, x):
         a = self.args
         topk_w, topk_e = self._router(x, lp["router"])
-        # Reuse the shared dispatch/combine with externally-computed routing:
-        # emulate by scattering our topk weights through moe_mlp's internals —
-        # simplest correct path: inline the dispatch here.
         T = x.shape[0]
         k = a.n_experts_per_token
         E = a.n_experts
