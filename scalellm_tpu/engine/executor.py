@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import functools
 import logging
-from typing import Any, Dict, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -43,7 +43,6 @@ class Executor:
         self.model = model
         self.mesh = mesh
         self.max_top_logprobs = max_top_logprobs
-        self._step_compiled: Dict[Tuple[int, ...], Any] = {}
 
         # fp16 checkpoints compute as bf16 (no fp16 on the TPU path).
         dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32, "float16": jnp.bfloat16}[

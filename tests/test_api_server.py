@@ -172,3 +172,24 @@ def test_metrics_endpoint(server):
     with urllib.request.urlopen(server + "/metrics", timeout=10) as r:
         text = r.read().decode()
     assert "# TYPE" in text
+
+
+def test_concurrent_clients(server):
+    """Several clients in flight at once exercise continuous batching through
+    the full HTTP stack."""
+    import concurrent.futures
+
+    def one(i):
+        status, body = _post(
+            server,
+            "/v1/completions",
+            {"model": "m", "prompt": f"client {i} says", "max_tokens": 3,
+             "temperature": 0.0, "ignore_eos": True},
+        )
+        assert status == 200
+        return body["choices"][0]["text"]
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=6) as pool:
+        texts = list(pool.map(one, range(6)))
+    assert len(texts) == 6
+    assert all(len(t) > 0 for t in texts)
