@@ -42,7 +42,10 @@ def build_model(preset: str):
             vocab_size=128256,
             max_position_embeddings=4096,
             rope_theta=500000.0,
-            quant_args=QuantArgs(quant_method="gptq", bits=4, group_size=128),
+            quant_args=QuantArgs(
+                quant_method="gptq", bits=4, group_size=128,
+                quantize_lm_head=True,
+            ),
         )
     elif preset == "tinyllama-1.1b":
         args = ModelArgs(

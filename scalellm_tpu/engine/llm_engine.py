@@ -49,6 +49,8 @@ class EngineOptions:
     num_speculative_tokens: int = 0
     # KV cache quantization: "auto" | "int8"
     kv_cache_dtype: str = "auto"
+    # Runtime int8 quantization of the lm_head for quantized models.
+    quantize_lm_head: bool = False
     # Persistent XLA compilation cache dir ("" = env SCALELLM_COMPILE_CACHE
     # or disabled). Buckets compile once ever, not once per process — warm
     # restarts skip all jit compiles.
@@ -99,6 +101,8 @@ class LLMEngine:
 
         if options.kv_cache_dtype != "auto":
             self.model_args.kv_cache_dtype = options.kv_cache_dtype
+        if options.quantize_lm_head and self.model_args.quant_args:
+            self.model_args.quant_args.quantize_lm_head = True
         tp = options.tp_size
         if mesh is not None:
             tp = int(mesh.shape.get("tp", tp))

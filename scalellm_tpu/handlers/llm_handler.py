@@ -59,6 +59,7 @@ class LLMHandlerOptions:
     num_blocks: int = 0  # direct override (tests)
     max_context_len: int = 0  # 0 = model's max_position_embeddings
     kv_cache_dtype: str = "auto"  # "auto" | "int8"
+    quantize_lm_head: bool = False
 
 
 class LLMHandler:
@@ -76,6 +77,7 @@ class LLMHandler:
             draft_model_path=options.draft_model_path,
             num_speculative_tokens=options.num_speculative_tokens,
             kv_cache_dtype=options.kv_cache_dtype,
+            quantize_lm_head=options.quantize_lm_head,
         )
         if options.draft_model_path:
             from scalellm_tpu.speculative.speculative_engine import SpeculativeEngine

@@ -170,10 +170,25 @@ class DecoderModel:
         if a.pos_embedding_type == "learned":
             shapes["embed_positions"] = (a.max_position_embeddings, D)
         if not a.tie_word_embeddings:
-            shapes["lm_head"] = (D, V)
+            if self._lm_head_quant():
+                g = 128
+                shapes["lm_head"] = {
+                    "qweight": (D, V),
+                    "scales": (D // g, V),
+                    "zeros": (D // g, V),
+                }
+            else:
+                shapes["lm_head"] = (D, V)
             if a.lm_head_bias:
                 shapes["lm_head_bias"] = (V,)
         return shapes
+
+    def _lm_head_quant(self) -> bool:
+        return bool(
+            self.quant
+            and getattr(self.quant, "quantize_lm_head", False)
+            and self.args.hidden_size % 128 == 0
+        )
 
     def param_shapes(self) -> Dict[str, Any]:
         """Runtime (fused) global shapes: q/k/v fused into qkv_proj and
@@ -244,6 +259,13 @@ class DecoderModel:
             else:
                 layers[out_name] = interleave(vals)
 
+        if self._lm_head_quant() and "lm_head" in params:
+            from scalellm_tpu.ops.quant_matmul import quantize_int8
+
+            qw, sc, zp = quantize_int8(
+                np.asarray(params["lm_head"], dtype=np.float32), 128
+            )
+            params["lm_head"] = {"qweight": qw, "scales": sc, "zeros": zp}
         fuse(["q_proj", "k_proj", "v_proj"], "qkv_proj")
         if a.qkv_bias:
             fuse(["q_bias", "k_bias", "v_bias"], "qkv_bias")
@@ -338,7 +360,14 @@ class DecoderModel:
         if a.pos_embedding_type == "learned":
             specs["embed_positions"] = P(None, None)
         if not a.tie_word_embeddings:
-            specs["lm_head"] = P(None, tp)  # vocab-sharded, logits all-gathered
+            if self._lm_head_quant():
+                specs["lm_head"] = {
+                    "qweight": P(None, tp),
+                    "scales": P(None, tp),
+                    "zeros": P(None, tp),
+                }
+            else:
+                specs["lm_head"] = P(None, tp)  # vocab-sharded, all-gathered
             if a.lm_head_bias:
                 specs["lm_head_bias"] = P(tp)
         return specs
@@ -623,6 +652,19 @@ class DecoderModel:
         if a.tie_word_embeddings:
             w = params["embed_tokens"].T  # replicated: [D, V]
             logits = jnp.dot(hidden, w, preferred_element_type=jnp.float32)
+        elif isinstance(params["lm_head"], dict):
+            from scalellm_tpu.ops.quant_matmul import quant_matmul
+
+            lm = params["lm_head"]
+            logits = quant_matmul(
+                hidden, lm["qweight"], lm["scales"], lm["zeros"], bits=8
+            ).astype(jnp.float32)
+            if a.lm_head_bias:
+                logits = logits + params["lm_head_bias"].astype(jnp.float32)
+            if self.parallel.tp_axis is not None:
+                logits = lax.all_gather(
+                    logits, self.parallel.tp_axis, axis=1, tiled=True
+                )
         else:
             logits = jnp.dot(hidden, params["lm_head"], preferred_element_type=jnp.float32)
             if a.lm_head_bias:
