@@ -21,8 +21,7 @@ broadcast.
 from __future__ import annotations
 
 import logging
-from dataclasses import fields
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

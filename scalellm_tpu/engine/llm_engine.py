@@ -10,14 +10,14 @@ from __future__ import annotations
 
 import logging
 import time
-from dataclasses import dataclass, field
-from typing import Any, Dict, Optional
+from dataclasses import dataclass
+from typing import Optional
 
 import numpy as np
 
 from scalellm_tpu.engine.batch import Batch
 from scalellm_tpu.engine.executor import Executor
-from scalellm_tpu.memory.block_manager import BlockManager, BlockManagerOptions
+from scalellm_tpu.memory.block_manager import BlockManagerOptions
 from scalellm_tpu.model_loader.loader import HFModelLoader
 from scalellm_tpu.models.registry import ModelRegistry
 from scalellm_tpu.parallel.config import ParallelConfig

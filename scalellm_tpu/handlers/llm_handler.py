@@ -13,8 +13,8 @@ import logging
 import threading
 import time
 from concurrent.futures import ThreadPoolExecutor
-from dataclasses import dataclass, field
-from typing import Callable, List, Optional, Sequence
+from dataclasses import dataclass
+from typing import List, Optional, Sequence
 
 from scalellm_tpu.engine.batch import TOKEN_BUCKETS
 from scalellm_tpu.engine.llm_engine import EngineOptions, LLMEngine

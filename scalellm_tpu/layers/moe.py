@@ -16,8 +16,6 @@ computes only the tokens routed to its experts (see moe_mlp's ep_axis).
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 
