@@ -217,7 +217,7 @@ def quant_matmul(
     scales: jnp.ndarray,  # [K//G, N]
     zeros: jnp.ndarray,  # int8 [K//G, N]
     bits: int = 4,
-    block_n: int = _env_int("QUANT_BLOCK_N", 2048),
+    block_n: int = _env_int("QUANT_BLOCK_N", 4096),
     block_k: int = _env_int("QUANT_BLOCK_K", 1024),
     backend: Optional[str] = None,
 ) -> jnp.ndarray:
