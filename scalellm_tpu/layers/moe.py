@@ -100,9 +100,19 @@ def moe_mlp(
         in_range = (local >= 0) & (local < E_local)
         flat_e = jnp.where(in_range, local, E_local)
         flat_w = jnp.where(in_range, flat_w, 0.0)
+    # Pad the (token, slot) rows to the grouped-matmul's row tile (megablox
+    # requires multiples of 128); padding routes to the overflow group
+    # (expert id E_local) so it sorts last and stays uncovered.
+    total = flat_e.shape[0]
+    if _on_tpu() and total % 128 != 0:
+        pad = 128 - total % 128
+        flat_e = jnp.concatenate(
+            [flat_e, jnp.full((pad,), E_local, flat_e.dtype)]
+        )
+        flat_w = jnp.concatenate([flat_w, jnp.zeros((pad,), flat_w.dtype)])
     order = jnp.argsort(flat_e)  # stable
-    token_of = order // top_k  # originating token per sorted row
-    xs = x[token_of]  # [T*k, D]
+    token_of = jnp.minimum(order // top_k, T - 1)  # owner per sorted row
+    xs = x[token_of]  # [T*k (padded), D]
     group_sizes = jnp.bincount(flat_e, length=E_local).astype(jnp.int32)
 
     # Expert FFN via grouped matmul (rows past the last real group fall in
@@ -115,10 +125,12 @@ def moe_mlp(
     # Combine: weight by router prob and scatter-add back to tokens. Rows
     # past the last real group (remote-expert overflow) are uncovered by the
     # grouped matmul — mask them explicitly (0 * garbage could be NaN).
-    w_sorted = flat_w[order]  # [T*k]
+    w_sorted = flat_w[order]  # [T*k (padded)]
     covered = jnp.sum(group_sizes)
     row_idx = jnp.arange(y.shape[0])
     y = jnp.where((row_idx < covered)[:, None], y, 0.0)
     y = y * w_sorted[:, None]
-    out = jnp.zeros((T, y.shape[-1]), jnp.float32).at[token_of].add(y)
+    out = jnp.zeros((T, y.shape[-1]), jnp.float32).at[token_of].add(
+        y, mode="drop"
+    )
     return out

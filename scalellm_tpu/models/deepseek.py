@@ -253,19 +253,32 @@ class MLADecoderModel:
         E = a.n_experts
         flat_e = topk_e.reshape(-1)
         flat_w = topk_w.reshape(-1)
+        from scalellm_tpu.layers.moe import _grouped_matmul, _on_tpu
+
+        # Row-tile padding for megablox (see layers/moe.py): padding routes
+        # to the overflow group E and stays uncovered.
+        total = flat_e.shape[0]
+        if _on_tpu() and total % 128 != 0:
+            pad = 128 - total % 128
+            flat_e = jnp.concatenate([flat_e, jnp.full((pad,), E, flat_e.dtype)])
+            flat_w = jnp.concatenate([flat_w, jnp.zeros((pad,), flat_w.dtype)])
         order = jnp.argsort(flat_e)
-        token_of = order // k
+        token_of = jnp.minimum(order // k, T - 1)
         xs = x[token_of]
         group_sizes = jnp.bincount(flat_e, length=E).astype(jnp.int32)
-        from scalellm_tpu.layers.moe import _grouped_matmul
 
         g = _grouped_matmul(xs, lp["moe_gate"], group_sizes)
         u = _grouped_matmul(xs, lp["moe_up"], group_sizes)
         hidden = (jax.nn.silu(g) * u).astype(x.dtype)
         y = _grouped_matmul(hidden, lp["moe_down"], group_sizes)
         w_sorted = flat_w[order]
+        covered = jnp.sum(group_sizes)
+        row_idx = jnp.arange(y.shape[0])
+        y = jnp.where((row_idx < covered)[:, None], y, 0.0)
         y = y * w_sorted[:, None]
-        out = jnp.zeros((T, y.shape[-1]), jnp.float32).at[token_of].add(y)
+        out = jnp.zeros((T, y.shape[-1]), jnp.float32).at[token_of].add(
+            y, mode="drop"
+        )
         # Shared experts: plain gated FFN added directly (no gate scalar).
         if "shared_gate_proj" in lp:
             sg = jnp.dot(x, lp["shared_gate_proj"], preferred_element_type=jnp.float32)
