@@ -37,6 +37,48 @@ from scalellm_tpu.ops.kv_update import set_kv_cache
 from scalellm_tpu.parallel.config import ParallelConfig
 
 
+def _parse_yarn(args: ModelArgs) -> Optional[Dict[str, float]]:
+    rs = (args.raw or {}).get("rope_scaling")
+    if not rs:
+        return None
+    rtype = rs.get("type") or rs.get("rope_type")
+    if rtype != "yarn":
+        raise ValueError(
+            f"deepseek rope_scaling type {rtype!r} unsupported (only yarn)"
+        )
+    return {
+        "factor": float(rs.get("factor", 1.0)),
+        "original_max_position_embeddings": float(
+            rs.get("original_max_position_embeddings", 4096)
+        ),
+        "beta_fast": float(rs.get("beta_fast", 32)),
+        "beta_slow": float(rs.get("beta_slow", 1)),
+        "mscale": float(rs.get("mscale", 1.0)),
+        "mscale_all_dim": float(rs.get("mscale_all_dim", 0.0)),
+    }
+
+
+def _yarn_get_mscale(scale: float, mscale: float) -> float:
+    if scale <= 1.0 or mscale == 0.0:
+        return 1.0
+    import math
+
+    return 0.1 * mscale * math.log(scale) + 1.0
+
+
+def _yarn_correction_range(beta_fast, beta_slow, dim, base, orig_max_pos):
+    import math
+
+    def correction_dim(num_rotations):
+        return (
+            dim * math.log(orig_max_pos / (num_rotations * 2 * math.pi))
+        ) / (2 * math.log(base))
+
+    low = math.floor(correction_dim(beta_fast))
+    high = math.ceil(correction_dim(beta_slow))
+    return max(low, 0), min(high, dim - 1)
+
+
 def _dtype_of(args: ModelArgs):
     # float16 checkpoints run as bfloat16: the TPU compute path (MXU, Mosaic
     # kernels) has no fp16 support, and bf16's range supersets fp16's.
@@ -64,6 +106,14 @@ class MLADecoderModel:
         self.kv_quant = a.kv_cache_dtype == "int8"
         self.n_dense = a.first_k_dense_replace
         self.n_moe = a.n_layers - self.n_dense
+        # Yarn rope scaling (DeepSeek-V2/V2-Lite long-context checkpoints):
+        # precompute the blended inv_freq + attention-scale multiplier
+        # (HF DeepseekV2YarnRotaryEmbedding + softmax_scale mscale adjustment).
+        self._yarn = _parse_yarn(a)
+        self.sm_scale = self.qk_head_dim ** -0.5
+        if self._yarn is not None:
+            m = _yarn_get_mscale(self._yarn["factor"], self._yarn["mscale_all_dim"])
+            self.sm_scale = self.sm_scale * m * m
 
     # ------------------------------------------------------------ param spec
 
@@ -155,8 +205,10 @@ class MLADecoderModel:
     # --------------------------------------------------------------- forward
 
     def _rope_tables(self, positions):
-        """cos/sin over the rope head dim (deepseek: plain rope over
-        qk_rope_head_dim with interleaved pair convention)."""
+        """cos/sin over the rope head dim (deepseek: rope over
+        qk_rope_head_dim, interleaved pair convention; yarn-scaled when the
+        checkpoint carries rope_scaling, matching HF
+        DeepseekV2YarnRotaryEmbedding incl. the mscale cos/sin multiplier)."""
         import numpy as np
 
         a = self.args
@@ -164,10 +216,27 @@ class MLADecoderModel:
         inv_freq = 1.0 / (
             a.rope_theta ** (np.arange(0, r, 2, dtype=np.float64) / r)
         )
+        mscale = 1.0
+        if self._yarn is not None:
+            y = self._yarn
+            inv_freq_inter = inv_freq / y["factor"]
+            low, high = _yarn_correction_range(
+                y["beta_fast"], y["beta_slow"], r, a.rope_theta,
+                y["original_max_position_embeddings"],
+            )
+            ramp = np.clip(
+                (np.arange(r // 2, dtype=np.float64) - low) / max(high - low, 1e-3),
+                0.0, 1.0,
+            )
+            extra_mask = 1.0 - ramp
+            inv_freq = inv_freq_inter * (1.0 - extra_mask) + inv_freq * extra_mask
+            mscale = _yarn_get_mscale(y["factor"], y["mscale"]) / _yarn_get_mscale(
+                y["factor"], y["mscale_all_dim"]
+            )
         freqs = positions.astype(jnp.float32)[:, None] * jnp.asarray(
             inv_freq.astype(np.float32)
         )[None, :]
-        return jnp.cos(freqs), jnp.sin(freqs)
+        return jnp.cos(freqs) * mscale, jnp.sin(freqs) * mscale
 
     def _attention(self, lp, h, mi, cos, sin, kvc):
         a = self.args
@@ -216,7 +285,7 @@ class MLADecoderModel:
             mi.block_tables,
             mi.cu_q_lens,
             mi.num_seqs,
-            sm_scale=qk ** -0.5,
+            sm_scale=self.sm_scale,
             k_scale=kv_scale,
             v_scale=kv_scale,
         )[..., :vd]
@@ -226,8 +295,10 @@ class MLADecoderModel:
         return h + o.astype(h.dtype), kvc
 
     def _router(self, x, router_w):
-        """DeepSeek gate: softmax scores, greedy or group-limited top-k, NO
-        normalization, scaled by routed_scaling_factor (HF DeepseekV2MoEGate)."""
+        """DeepSeek gate: softmax scores, greedy or group-limited top-k; then
+        either top-k normalization (norm_topk_prob, V2.5/V3-style gates) or
+        routed_scaling_factor (HF DeepseekV2MoEGate applies the scaling factor
+        only in the non-normalized branch)."""
         a = self.args
         scores = jax.nn.softmax(
             jnp.dot(x.astype(jnp.float32), router_w.astype(jnp.float32)), axis=-1
@@ -243,7 +314,11 @@ class MLADecoderModel:
             mask = jnp.repeat(group_mask, E // g, axis=-1)
             scores = jnp.where(mask > 0, scores, 0.0)
         topk_w, topk_e = jax.lax.top_k(scores, a.n_experts_per_token)
-        return topk_w * a.routed_scaling_factor, topk_e
+        if a.norm_topk_prob and a.n_experts_per_token > 1:
+            topk_w = topk_w / (jnp.sum(topk_w, axis=-1, keepdims=True) + 1e-20)
+        else:
+            topk_w = topk_w * a.routed_scaling_factor
+        return topk_w, topk_e
 
     def _moe_ffn(self, lp, x):
         a = self.args

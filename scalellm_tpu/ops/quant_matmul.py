@@ -130,7 +130,7 @@ def _int4_kernel(x_ref, qw_ref, sc_ref, zp_ref, o_ref, acc_ref, *, n_k: int):
     element order, so the unpack is free (a hardware int4→bf16 convert)
     instead of a VPU shift/mask/shuffle chain.
     """
-    kk = pl.program_id(1)
+    kk = pl.program_id(2)
 
     @pl.when(kk == 0)
     def _():
@@ -167,7 +167,7 @@ def _int4_kernel(x_ref, qw_ref, sc_ref, zp_ref, o_ref, acc_ref, *, n_k: int):
 def _int8_kernel(x_ref, qw_ref, sc_ref, zp_ref, o_ref, acc_ref, *, n_k: int):
     """Same post-dot group scaling as the int4 kernel; the MXU consumes the
     int8 operand directly in a mixed bf16 × int8 dot."""
-    kk = pl.program_id(1)
+    kk = pl.program_id(2)
 
     @pl.when(kk == 0)
     def _():
@@ -245,6 +245,18 @@ def quant_matmul(
     assert K % block_k == 0, (K, block_k)
     n_n = pl.cdiv(N, block_n)
     n_k = K // block_k
+    # M tiling: decode batches (small M) run as a single tile (padding small
+    # M to sublane multiples measurably hurt at M=1), but prefill batches
+    # must be tiled or they blow past the 16MB scoped-VMEM limit: the
+    # per-group dot materializes an [n_g, BM, BN] f32 intermediate, so large
+    # M needs BOTH an M grid dim and a smaller BN (measured OOMs at M=512:
+    # BN=4096 needs 18-23M). M>64 is prefill -> compute-bound; the extra
+    # weight re-fetches per M tile are amortized by the MXU work.
+    if M > 64:
+        block_n = min(block_n, 512)
+        n_n = pl.cdiv(N, block_n)
+    block_m = M if M <= 256 else 256
+    n_m = pl.cdiv(M, block_m)
 
     qk_rows = block_k // 2 if bits == 4 else block_k
     kernel = _int4_kernel if bits == 4 else _int8_kernel
@@ -253,31 +265,31 @@ def quant_matmul(
     return pl.pallas_call(
         functools.partial(kernel, n_k=n_k),
         out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
-        grid=(n_n, n_k),
+        grid=(n_m, n_n, n_k),
         in_specs=[
             pl.BlockSpec(
-                (M, block_k), lambda n, k: (0, k), memory_space=pltpu.VMEM
+                (block_m, block_k), lambda m, n, k: (m, k), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (qk_rows, block_n), lambda n, k: (k, n), memory_space=pltpu.VMEM
+                (qk_rows, block_n), lambda m, n, k: (k, n), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 (block_k // G, block_n),
-                lambda n, k: (k, n),
+                lambda m, n, k: (k, n),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (block_k // G, block_n),
-                lambda n, k: (k, n),
+                lambda m, n, k: (k, n),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (M, block_n), lambda n, k: (0, n), memory_space=pltpu.VMEM
+            (block_m, block_n), lambda m, n, k: (m, n), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[pltpu.VMEM((M, block_n), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * M * N * K,

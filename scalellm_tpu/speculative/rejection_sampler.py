@@ -61,17 +61,20 @@ def rejection_sample(
 
     res_keys = jax.vmap(lambda s: key_for(s, 1))(seeds)
 
-    def sample_rows(kk, probs, sample_flag):
-        # probs [k+1?, V] — gumbel-max per row; greedy = argmax
+    def sample_rows(kk, probs, greedy_probs, sample_flag):
+        # probs [k?, V] — gumbel-max per row; greedy = argmax of the TARGET
+        # distribution (reference RejectionSampler::greedy_sample emits
+        # argmax(p_target), NOT argmax of the residual — using the residual
+        # would break spec-decode losslessness for do_sample=False).
         g = jax.random.gumbel(kk, probs.shape, dtype=jnp.float32)
         rand = jnp.argmax(jnp.log(jnp.maximum(probs, _EPS)) + g, axis=-1)
-        greedy = jnp.argmax(probs, axis=-1)
+        greedy = jnp.argmax(greedy_probs, axis=-1)
         return jnp.where(sample_flag, rand, greedy)
 
-    resampled = jax.vmap(sample_rows)(res_keys, adjusted, do_sample)  # [S, k]
+    resampled = jax.vmap(sample_rows)(res_keys, adjusted, p_tgt_k, do_sample)  # [S, k]
     bonus_keys = jax.vmap(lambda s: key_for(s, 2))(seeds)
     bonus = jax.vmap(
-        lambda kk, p, f: sample_rows(kk, p[None, :], f)[0]
+        lambda kk, p, f: sample_rows(kk, p[None, :], p[None, :], f)[0]
     )(bonus_keys, target_probs[:, k, :], do_sample)  # [S]
 
     # Assemble [S, k+1]: draft ids where i < r; at i == r the replacement

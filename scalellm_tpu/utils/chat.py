@@ -43,7 +43,12 @@ def apply_chat_template(
 def _render_jinja(template: str, messages: Sequence[Message]) -> str:
     import jinja2
 
-    env = jinja2.Environment(
+    from jinja2.sandbox import ImmutableSandboxedEnvironment
+
+    # Sandboxed: checkpoint-supplied templates are untrusted input; a plain
+    # Environment would allow __class__/__subclasses__ gadget chains to reach
+    # arbitrary code execution (HF transformers sandboxes for the same reason).
+    env = ImmutableSandboxedEnvironment(
         loader=jinja2.BaseLoader(), trim_blocks=True, lstrip_blocks=True
     )
     env.globals["raise_exception"] = _raise_exception

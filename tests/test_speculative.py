@@ -37,9 +37,10 @@ def test_rejection_sampler_greedy_accepts_matching():
     # seq 0: k accepted + bonus (bonus = argmax of last target distribution)
     assert list(out[0, :k]) == list(tgt_argmax[0])
     assert out[0, k] == target[0, k].argmax()
-    # seq 1: rejected at 0 -> resampled token (greedy = argmax of adjusted
-    # distribution) then -1 padding
-    assert out[1, 0] == np.maximum(target[1, 0] - draft_probs[1, 0], 0).argmax()
+    # seq 1: rejected at 0 -> greedy replacement = argmax(p_target) (NOT the
+    # residual distribution — reference RejectionSampler::greedy_sample;
+    # anything else breaks greedy spec-decode losslessness) then -1 padding
+    assert out[1, 0] == tgt_argmax[1, 0]
     assert all(out[1, 1:] == -1)
 
 

@@ -66,6 +66,109 @@ def test_jinja_chat_template_priority():
     assert out == "[user]xGEN:"
 
 
+def test_jinja_chat_template_sandboxed():
+    """Checkpoint-supplied templates are untrusted: __class__/__subclasses__
+    gadget chains must not execute (sandboxed env), and the coded fallback
+    takes over when the template is rejected."""
+    from scalellm_tpu.utils.chat import Message, apply_chat_template
+
+    evil = (
+        "{{ ''.__class__.__mro__[1].__subclasses__() }}"
+    )
+    out = apply_chat_template(
+        [Message("user", "hi")], jinja_template=evil, model_type="llama2"
+    )
+    # sandbox raised -> coded llama2 template rendered instead
+    assert "<class" not in out and "[INST]" in out
+
+
+def test_deepseek_yarn_rope_scaling():
+    """Yarn inv_freq blending + mscale must match the HF DeepseekV2 formula
+    (ADVICE r1: unscaled frequencies + unadjusted sm_scale were silently
+    wrong for real V2/V2-Lite checkpoints)."""
+    import math
+
+    import numpy as np
+
+    from scalellm_tpu.models.deepseek import (
+        MLADecoderModel, load_deepseek_v2_model_args,
+    )
+
+    cfg = {
+        "hidden_size": 64, "num_hidden_layers": 1, "num_attention_heads": 2,
+        "vocab_size": 128, "kv_lora_rank": 32, "qk_nope_head_dim": 16,
+        "qk_rope_head_dim": 16, "v_head_dim": 16, "rope_theta": 10000.0,
+        "rope_scaling": {
+            "type": "yarn", "factor": 40.0,
+            "original_max_position_embeddings": 4096,
+            "beta_fast": 32, "beta_slow": 1,
+            "mscale": 0.707, "mscale_all_dim": 0.707,
+        },
+    }
+    args = load_deepseek_v2_model_args(cfg)
+    model = MLADecoderModel(args)
+
+    # softmax scale: qk_head_dim**-0.5 * mscale(factor, mscale_all_dim)**2
+    m_all = 0.1 * 0.707 * math.log(40.0) + 1.0
+    assert abs(model.sm_scale - (32 ** -0.5) * m_all * m_all) < 1e-6
+
+    # rope tables: independent reimplementation of the HF yarn blend
+    positions = np.array([0, 100], dtype=np.int32)
+    cos, sin = model._rope_tables(positions)
+    cos, sin = np.asarray(cos), np.asarray(sin)
+    r, base, factor, omax = 16, 10000.0, 40.0, 4096.0
+    freq_extra = 1.0 / base ** (np.arange(0, r, 2) / r)
+    freq_inter = freq_extra / factor
+
+    def corr_dim(n_rot):
+        return (r * math.log(omax / (n_rot * 2 * math.pi))) / (2 * math.log(base))
+
+    low = max(math.floor(corr_dim(32)), 0)
+    high = min(math.ceil(corr_dim(1)), r - 1)
+    ramp = np.clip((np.arange(r // 2) - low) / max(high - low, 0.001), 0, 1)
+    inv_freq = freq_inter * ramp + freq_extra * (1 - ramp)
+    mscale = (0.1 * 0.707 * math.log(40.0) + 1.0) / m_all  # = 1 here
+    expect_cos = np.cos(positions[:, None] * inv_freq[None, :]) * mscale
+    np.testing.assert_allclose(cos, expect_cos, rtol=2e-5, atol=2e-5)
+    assert abs(sin[0].sum()) < 1e-6  # position 0
+
+
+def test_deepseek_router_norm_topk_prob():
+    """norm_topk_prob=True normalizes top-k weights (no scaling factor);
+    False multiplies by routed_scaling_factor (HF DeepseekV2MoEGate)."""
+    import numpy as np
+
+    from scalellm_tpu.models.deepseek import (
+        MLADecoderModel, load_deepseek_v2_model_args,
+    )
+
+    base_cfg = {
+        "hidden_size": 8, "num_hidden_layers": 2, "num_attention_heads": 1,
+        "vocab_size": 32, "kv_lora_rank": 8, "qk_nope_head_dim": 4,
+        "qk_rope_head_dim": 4, "v_head_dim": 4,
+        "n_routed_experts": 4, "num_experts_per_tok": 2,
+        "first_k_dense_replace": 1, "routed_scaling_factor": 2.5,
+    }
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((3, 8)).astype(np.float32)
+    w = rng.standard_normal((8, 4)).astype(np.float32)
+
+    m_norm = MLADecoderModel(load_deepseek_v2_model_args(
+        dict(base_cfg, norm_topk_prob=True)))
+    tw, _ = m_norm._router(x, w)
+    np.testing.assert_allclose(np.asarray(tw).sum(-1), 1.0, rtol=1e-5)
+
+    m_scale = MLADecoderModel(load_deepseek_v2_model_args(
+        dict(base_cfg, norm_topk_prob=False)))
+    tw2, te2 = m_scale._router(x, w)
+    import jax.numpy as jnp
+    import jax
+
+    scores = np.asarray(jax.nn.softmax(jnp.dot(x, w), axis=-1))
+    picked = np.take_along_axis(scores, np.asarray(te2), axis=-1)
+    np.testing.assert_allclose(np.asarray(tw2), picked * 2.5, rtol=1e-5)
+
+
 def test_stopping_criteria_stop_sequence_hiding():
     from scalellm_tpu.request.output import FinishReason
     from scalellm_tpu.request.stopping import StoppingCriteria
