@@ -165,73 +165,6 @@ class Executor:
     def _step_fn(self):
         return self._build_step_fn()
 
-    @functools.cached_property
-    def _step_with_probs_fn(self):
-        """Draft-engine step: also returns the post-processing sampling
-        distribution [S, V] needed by the rejection sampler
-        (reference: draft_probs in speculative_engine.cpp:208-216)."""
-        model = self.model
-
-        def step(params, kv_cache, mi: ModelInputs, si: SamplingInputs):
-            hidden, new_kv = model.forward(params, kv_cache, mi)
-            logits = model.logits(params, hidden)
-            from scalellm_tpu.sampling.sampler import process_logits, sample
-
-            processed = process_logits(logits, si)
-            probs = jax.nn.softmax(processed, axis=-1)
-            do_sample = si.temperatures > 0.0
-            next_tokens = sample(processed, do_sample, si.seeds)
-            outs = ModelOutputs(
-                next_tokens=next_tokens.astype(jnp.int32),
-                logprobs=jnp.zeros(next_tokens.shape, jnp.float32),
-                top_ids=jnp.zeros((next_tokens.shape[0], 0), jnp.int32),
-                top_logprobs=jnp.zeros((next_tokens.shape[0], 0), jnp.float32),
-            )
-            return outs, probs, new_kv
-
-        assert self.mesh is None, "speculative draft over mesh TBD"
-        return jax.jit(step, donate_argnums=(1,))
-
-    @functools.cached_property
-    def _forward_logits_fn(self):
-        """Target-engine validation pass: processed logits at every selected
-        index (no sampling) — mi.selected_idxes may hold several positions
-        per sequence (k+1 for speculative validation)."""
-        model = self.model
-
-        def fwd(params, kv_cache, mi: ModelInputs, si: SamplingInputs, rep: int):
-            from scalellm_tpu.sampling.sampler import process_logits
-
-            hidden, new_kv = model.forward(params, kv_cache, mi)
-            logits = model.logits(params, hidden)  # [S*rep, V]
-            # Broadcast each sequence's sampling params over its rep rows.
-            si_rep = jax.tree_util.tree_map(
-                lambda x: jnp.repeat(x, rep, axis=0), si
-            )
-            processed = process_logits(logits, si_rep)
-            return processed, new_kv
-
-        assert self.mesh is None, "speculative target over mesh TBD"
-        return jax.jit(fwd, static_argnums=(4,), donate_argnums=(1,))
-
-    def execute_with_probs(self, mi: ModelInputs, si: SamplingInputs):
-        assert self.kv_cache is not None
-        mi = jax.tree_util.tree_map(jnp.asarray, mi)
-        si = jax.tree_util.tree_map(jnp.asarray, si)
-        outs, probs, self.kv_cache = self._step_with_probs_fn(
-            self.params, self.kv_cache, mi, si
-        )
-        return outs, probs
-
-    def forward_logits(self, mi: ModelInputs, si: SamplingInputs, rep: int):
-        assert self.kv_cache is not None
-        mi = jax.tree_util.tree_map(jnp.asarray, mi)
-        si = jax.tree_util.tree_map(jnp.asarray, si)
-        logits, self.kv_cache = self._forward_logits_fn(
-            self.params, self.kv_cache, mi, si, rep
-        )
-        return logits
-
     # ---------------------------------------------------------------- execute
 
     def execute(

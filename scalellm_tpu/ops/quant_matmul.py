@@ -2,8 +2,8 @@
 
 TPU-native replacement for the reference's Marlin/GPTQ/AWQ CUDA GEMMs
 (reference: src/kernels/quantization/marlin/, awq/gemm_cuda_gen.cu,
-gptq/gptq_kernel.cu — ~10.5k LoC of CUDA). One Pallas kernel covers all
-weight-only formats via a canonical TPU layout; checkpoint-specific
+gptq/gptq_kernel.cu — ~10.5k LoC of CUDA). One Pallas kernel family covers
+all weight-only formats via a canonical TPU layout; checkpoint-specific
 unpacking (AWQ/GPTQ nibble orders) happens once at load time
 (scalellm_tpu/quantization/).
 
@@ -20,6 +20,17 @@ Canonical layout (column-major groups, lane-aligned N):
            (signed; symmetric checkpoints store 0)
 
 Dequant: w = (q - z) * s, computed in bf16 feeding the MXU.
+
+Two kernel strategies, selected per call (both verified bit-stable vs the
+reference implementation):
+  "group":   per-group batched MXU dots with POST-dot scaling (and the
+             Marlin-style zero-point correction when asymmetric) — no
+             elementwise work ever touches the big weight tile.
+  "dequant": dequantize the tile in VMEM (free int4→bf16 convert + one VPU
+             multiply) and issue ONE large dot per grid cell — fewer, larger
+             MXU ops; wins at M=1 where the per-group dots serialize.
+`symmetric=True` (GPTQ sym / internal quantizer) skips loading and applying
+zero points entirely.
 
 Why a kernel at all: batch-1 decode is HBM-bandwidth-bound, so INT4 wins by
 moving 4x fewer bytes than bf16 — but only if dequant fuses into the matmul
@@ -118,76 +129,94 @@ def ref_quant_matmul(
     ).astype(x.dtype)
 
 
-# ---------------------------------------------------------------- kernel
+# ---------------------------------------------------------------- kernels
 
 
-def _int4_kernel(x_ref, qw_ref, sc_ref, zp_ref, o_ref, acc_ref, *, n_k: int):
-    """One (n, k) grid cell: dequant a [BK, BN] weight tile and accumulate
-    x_tile @ w_tile into the f32 scratch; flush on the last k step.
+def _unpack_tile(qw_ref, bits):
+    if bits == 4:
+        # The nibble layout (low nibble = even K row) matches int4's
+        # little-endian element order, so the unpack is free (a hardware
+        # int4→bf16 convert) instead of a VPU shift/mask/shuffle chain.
+        return pltpu.bitcast(qw_ref[:], jnp.int4)
+    return qw_ref[:]
 
-    The packed int8 tile is reinterpreted as int4 via pltpu.bitcast — the
-    nibble layout (low nibble = even K row) matches int4's little-endian
-    element order, so the unpack is free (a hardware int4→bf16 convert)
-    instead of a VPU shift/mask/shuffle chain.
+
+def _group_kernel(x_ref, qw_ref, sc_ref, *rest, n_k: int, bits: int, symmetric: bool):
+    """Per-group batched MXU dots, POST-dot group scaling.
+
+    Scales/zeros are constant along K within a group, so they distribute
+    out of the contraction: x_g @ ((w_g - z_g) * s_g) ==
+    (x_g @ w_g - sum_k(x_g) * z_g) * s_g. This keeps ALL elementwise work
+    off the big [BK, BN] weight tile (only the free int4→bf16 convert
+    touches it) — the Marlin-style trick, restated for the MXU. The MXU
+    consumes the int4/int8 operand directly in mixed-dtype dots.
     """
+    if symmetric:
+        o_ref, acc_ref = rest
+        zp_ref = None
+    else:
+        zp_ref, o_ref, acc_ref = rest
     kk = pl.program_id(2)
 
     @pl.when(kk == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    w4 = pltpu.bitcast(qw_ref[:], jnp.int4)  # [BK, BN] signed nibbles
-    bk, bn = w4.shape
+    w = _unpack_tile(qw_ref, bits)  # [BK, BN]
+    bk, bn = w.shape
     n_g = sc_ref.shape[0]
     G = bk // n_g
     m = x_ref.shape[0]
-    # Scales/zeros are constant along K within a group, so they distribute
-    # out of the contraction: x_g @ ((w_g - z_g) * s_g) ==
-    # (x_g @ w_g - sum_k(x_g) * z_g) * s_g. This keeps ALL elementwise work
-    # off the big [BK, BN] weight tile (only the free int4→bf16 convert
-    # touches it) — the Marlin-style trick, restated for the MXU.
-    # Mixed bf16 × int4 dot: the MXU consumes the int4 operand directly —
-    # no VPU convert of the [BK, BN] tile at all.
-    w = w4.reshape(n_g, G, bn)
+    w = w.reshape(n_g, G, bn)
     x = x_ref[:].reshape(m, n_g, G).transpose(1, 0, 2)  # [n_g, M, G]
     dots = jax.lax.dot_general(
         x, w, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )  # [n_g, M, BN]
-    xsum = jnp.sum(x.astype(jnp.float32), axis=2)  # [n_g, M]
     s = sc_ref[:].astype(jnp.float32)  # [n_g, BN]
-    z = zp_ref[:].astype(jnp.float32)
-    corr = xsum[:, :, None] * z[:, None, :]
-    acc_ref[:] += jnp.sum((dots - corr) * s[:, None, :], axis=0)
+    if symmetric:
+        acc_ref[:] += jnp.sum(dots * s[:, None, :], axis=0)
+    else:
+        xsum = jnp.sum(x.astype(jnp.float32), axis=2)  # [n_g, M]
+        z = zp_ref[:].astype(jnp.float32)
+        corr = xsum[:, :, None] * z[:, None, :]
+        acc_ref[:] += jnp.sum((dots - corr) * s[:, None, :], axis=0)
 
     @pl.when(kk == n_k - 1)
     def _():
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
-def _int8_kernel(x_ref, qw_ref, sc_ref, zp_ref, o_ref, acc_ref, *, n_k: int):
-    """Same post-dot group scaling as the int4 kernel; the MXU consumes the
-    int8 operand directly in a mixed bf16 × int8 dot."""
+def _dequant_kernel(x_ref, qw_ref, sc_ref, *rest, n_k: int, bits: int, symmetric: bool):
+    """Dequantize the weight tile in VMEM, then ONE large dot per cell.
+
+    The int4→bf16 convert is free; the per-group scale is a single VPU
+    multiply over the tile. One [M, BK] @ [BK, BN] dot pipelines through the
+    MXU far better than n_g small batched dots when M is tiny.
+    """
+    if symmetric:
+        o_ref, acc_ref = rest
+        zp_ref = None
+    else:
+        zp_ref, o_ref, acc_ref = rest
     kk = pl.program_id(2)
 
     @pl.when(kk == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    w8 = qw_ref[:]  # [BK, BN] int8
-    bk, bn = w8.shape
+    w = _unpack_tile(qw_ref, bits)
+    bk, bn = w.shape
     n_g = sc_ref.shape[0]
     G = bk // n_g
-    m = x_ref.shape[0]
-    w = w8.reshape(n_g, G, bn)
-    x = x_ref[:].reshape(m, n_g, G).transpose(1, 0, 2)
-    dots = jax.lax.dot_general(
-        x, w, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    )
-    xsum = jnp.sum(x.astype(jnp.float32), axis=2)
-    s = sc_ref[:].astype(jnp.float32)
-    z = zp_ref[:].astype(jnp.float32)
-    corr = xsum[:, :, None] * z[:, None, :]
-    acc_ref[:] += jnp.sum((dots - corr) * s[:, None, :], axis=0)
+    s = sc_ref[:].astype(jnp.bfloat16)  # [n_g, BN]
+    wg = w.reshape(n_g, G, bn)
+    if symmetric:
+        wd = wg.astype(jnp.bfloat16) * s[:, None, :]
+    else:
+        z = zp_ref[:].astype(jnp.bfloat16)  # [n_g, BN]
+        wd = (wg.astype(jnp.bfloat16) - z[:, None, :]) * s[:, None, :]
+    wd = wd.reshape(bk, bn)
+    acc_ref[:] += jnp.dot(x_ref[:], wd, preferred_element_type=jnp.float32)
 
     @pl.when(kk == n_k - 1)
     def _():
@@ -200,6 +229,12 @@ def _env_int(name: str, default: int) -> int:
     return int(os.environ.get(name, default))
 
 
+def _env_str(name: str, default: str) -> str:
+    import os
+
+    return os.environ.get(name, default)
+
+
 @functools.cache
 def _default_backend() -> str:
     try:
@@ -208,25 +243,47 @@ def _default_backend() -> str:
         return "cpu"
 
 
+def _pick_blocks(M: int, K: int, N: int, bits: int) -> tuple[int, int, str]:
+    """(block_n, block_k, variant) defaults per shape class, from v5e sweeps
+    (benchmarks/quant_kernel_bench.py). Env QUANT_BLOCK_N/K and
+    QUANT_VARIANT override for experiments."""
+    bn = _env_int("QUANT_BLOCK_N", 0)
+    bk = _env_int("QUANT_BLOCK_K", 0)
+    variant = _env_str("QUANT_VARIANT", "")
+    if not variant:
+        variant = "dequant" if M <= 16 else "group"
+    return (bn or 4096, bk or 1024, variant)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("bits", "block_n", "block_k", "backend")
+    jax.jit,
+    static_argnames=("bits", "block_n", "block_k", "backend", "symmetric", "variant"),
 )
 def quant_matmul(
     x: jnp.ndarray,  # [M, K] bf16/f32
     qweight: jnp.ndarray,  # int4: int8[K//2, N]; int8: int8[K, N]
     scales: jnp.ndarray,  # [K//G, N]
-    zeros: jnp.ndarray,  # int8 [K//G, N]
+    zeros: Optional[jnp.ndarray] = None,  # int8 [K//G, N] (None => symmetric)
     bits: int = 4,
-    block_n: int = _env_int("QUANT_BLOCK_N", 4096),
-    block_k: int = _env_int("QUANT_BLOCK_K", 1024),
+    block_n: int = 0,
+    block_k: int = 0,
     backend: Optional[str] = None,
+    symmetric: bool = False,
+    variant: str = "",
 ) -> jnp.ndarray:
     """x @ dequant(qweight) with fused dequantization."""
     backend = backend or _default_backend()
     M, K = x.shape
     N = qweight.shape[-1]
+    symmetric = symmetric or zeros is None
     if backend != "tpu":
-        return ref_quant_matmul(x, qweight, scales, zeros, bits)
+        z = zeros if zeros is not None else jnp.zeros_like(scales, dtype=jnp.int8)
+        return ref_quant_matmul(x, qweight, scales, z, bits)
+
+    dn, dk, dv = _pick_blocks(M, K, N, bits)
+    block_n = block_n or dn
+    block_k = block_k or dk
+    variant = variant or dv
 
     G = K // scales.shape[0]
     block_n = min(block_n, N)
@@ -248,42 +305,52 @@ def quant_matmul(
     # M tiling: decode batches (small M) run as a single tile (padding small
     # M to sublane multiples measurably hurt at M=1), but prefill batches
     # must be tiled or they blow past the 16MB scoped-VMEM limit: the
-    # per-group dot materializes an [n_g, BM, BN] f32 intermediate, so large
-    # M needs BOTH an M grid dim and a smaller BN (measured OOMs at M=512:
-    # BN=4096 needs 18-23M). M>64 is prefill -> compute-bound; the extra
-    # weight re-fetches per M tile are amortized by the MXU work.
+    # group variant materializes an [n_g, BM, BN] f32 intermediate and the
+    # dequant variant a [BK, BN] bf16 tile, so large M needs BOTH an M grid
+    # dim and a smaller BN (measured OOMs at M=512: BN=4096 needs 18-23M).
+    # M>64 is prefill -> compute-bound; the extra weight re-fetches per M
+    # tile are amortized by the MXU work.
     if M > 64:
         block_n = min(block_n, 512)
         n_n = pl.cdiv(N, block_n)
+        variant = "group"
     block_m = M if M <= 256 else 256
     n_m = pl.cdiv(M, block_m)
 
     qk_rows = block_k // 2 if bits == 4 else block_k
-    kernel = _int4_kernel if bits == 4 else _int8_kernel
+    kernel = _group_kernel if variant == "group" else _dequant_kernel
 
+    in_specs = [
+        pl.BlockSpec(
+            (block_m, block_k), lambda m, n, k: (m, k), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (qk_rows, block_n), lambda m, n, k: (k, n), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (block_k // G, block_n),
+            lambda m, n, k: (k, n),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    operands = [x.astype(jnp.bfloat16), qweight, scales]
     bytes_w = qweight.size * 1 + scales.size * scales.dtype.itemsize
+    if not symmetric:
+        in_specs.append(
+            pl.BlockSpec(
+                (block_k // G, block_n),
+                lambda m, n, k: (k, n),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        operands.append(zeros)
+        bytes_w += zeros.size
+
     return pl.pallas_call(
-        functools.partial(kernel, n_k=n_k),
+        functools.partial(kernel, n_k=n_k, bits=bits, symmetric=symmetric),
         out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
         grid=(n_m, n_n, n_k),
-        in_specs=[
-            pl.BlockSpec(
-                (block_m, block_k), lambda m, n, k: (m, k), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (qk_rows, block_n), lambda m, n, k: (k, n), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (block_k // G, block_n),
-                lambda m, n, k: (k, n),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (block_k // G, block_n),
-                lambda m, n, k: (k, n),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (block_m, block_n), lambda m, n, k: (m, n), memory_space=pltpu.VMEM
         ),
@@ -296,4 +363,4 @@ def quant_matmul(
             bytes_accessed=bytes_w + M * K * 2 + M * N * 2,
             transcendentals=0,
         ),
-    )(x.astype(jnp.bfloat16), qweight, scales, zeros)
+    )(*operands)

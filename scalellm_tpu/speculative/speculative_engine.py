@@ -20,7 +20,6 @@ from __future__ import annotations
 
 import logging
 import time
-from typing import List
 
 import numpy as np
 
@@ -29,7 +28,6 @@ from scalellm_tpu.engine.llm_engine import EngineOptions, LLMEngine
 from scalellm_tpu.model_loader.loader import HFModelLoader
 from scalellm_tpu.ops.attention import kernel_head_dim
 from scalellm_tpu.request.sequence import EngineType
-from scalellm_tpu.speculative.rejection_sampler import rejection_sample
 from scalellm_tpu.utils.metrics import COUNTERS, HISTOGRAMS
 
 logger = logging.getLogger(__name__)
@@ -64,11 +62,19 @@ class SpeculativeEngine:
             enable_prefix_cache=options.enable_prefix_cache,
             warmup=False,
         )
+        # The draft shares the mesh: the fused speculative program runs both
+        # models inside ONE shard_map (reference runs its TP engine under
+        # SpeculativeEngine too, speculative_engine.cpp:162).
         draft = LLMEngine(
-            draft_options, mesh=None, shared_block_manager=target.block_manager
+            draft_options, mesh=mesh, shared_block_manager=target.block_manager
         )
         self.target = target
         self.draft = draft
+        from scalellm_tpu.speculative.spec_executor import SpecExecutor
+
+        self.spec_executor = SpecExecutor(
+            target.executor, draft.executor, self.k, mesh=mesh
+        )
         # Scheduler-facing surface (matches LLMEngine).
         self.tokenizer = target.tokenizer
         self.model_args = target.model_args
@@ -118,79 +124,119 @@ class SpeculativeEngine:
         engine.execute_model(b)
 
     def _execute_speculative(self, batch: Batch, seqs) -> None:
+        """One fused speculative round: k draft steps + target verify +
+        rejection sampling, all inside a single jitted device program
+        (spec_executor.py; reference host loop: speculative_engine.cpp:162).
+        """
         k = self.k
-        S = len(seqs)
 
-        # ---- k draft runs (reference: speculative_engine.cpp:166-171)
-        t0 = time.monotonic()
-        draft_ids: List[np.ndarray] = []
-        draft_probs: List[np.ndarray] = []
-        for i in range(k):
+        # Irregular target state (e.g. resumed after preemption mid-round):
+        # run a plain non-speculative step instead of hard-failing.
+        if any(
+            seq.num_tokens - seq.num_kv_cache_tokens(EngineType.LLM) != 1
+            for seq in seqs
+        ):
+            logger.debug("irregular KV lag; falling back to non-spec step")
+            for seq in seqs:
+                seq.engine_type = EngineType.LLM
+            self.target.execute_model(batch)
+            return
+        # Draft KV catch-up: the fused round assumes the draft lags by
+        # exactly one token (the last sampled token, which the round's first
+        # scan step processes).
+        if any(
+            seq.num_tokens - 1 - seq.num_kv_cache_tokens(EngineType.SSM) > 0
+            for seq in seqs
+        ):
             b = Batch()
             for seq in seqs:
                 seq.engine_type = EngineType.SSM
-                uncached = seq.num_tokens - seq.num_kv_cache_tokens(EngineType.SSM)
-                b.add(seq, uncached)
-            mi, si, _ = b.prepare_model_inputs(
-                self.options.block_size, self._step_counter * 131 + i
+                lag = seq.num_tokens - 1 - seq.num_kv_cache_tokens(EngineType.SSM)
+                if lag > 0:
+                    b.add(seq, lag)
+                    b.entries[-1].needs_sample = False
+            if b.entries:
+                self.draft.execute_model(b)
+
+        # ---- host-side input prep (small arrays; padded to buckets)
+        from scalellm_tpu.engine.batch import (
+            PAGE_BUCKETS, SEQ_BUCKETS, pick_bucket,
+        )
+        from scalellm_tpu.speculative.spec_executor import SpecInputs
+        from scalellm_tpu.engine.params import SamplingInputs
+
+        S_real = len(seqs)
+        S = pick_bucket(SEQ_BUCKETS, S_real)
+        maxp_real = max(len(seq.blocks) for seq in seqs)
+        MAXP = pick_bucket(PAGE_BUCKETS, maxp_real)
+
+        first_tokens = np.zeros(S, np.int32)
+        positions0 = np.zeros(S, np.int32)
+        slot_ids = np.zeros((S, k + 1), np.int32)
+        block_tables = np.zeros((S, MAXP), np.int32)
+        seq_mask = np.zeros(S, np.float32)
+        do_sample = np.zeros(S, bool)
+        seeds = np.zeros(S, np.uint32)
+        temperatures = np.zeros(S, np.float32)
+        top_ks = np.zeros(S, np.int32)
+        top_ps = np.ones(S, np.float32)
+        for s, seq in enumerate(seqs):
+            n = seq.num_tokens
+            first_tokens[s] = seq.token_ids[n - 1]
+            positions0[s] = n - 1
+            slot_ids[s] = seq.kv_cache_slots(n - 1, n + k)
+            bids = seq.block_ids()
+            block_tables[s, : len(bids)] = bids
+            seq_mask[s] = 1.0
+            sp = seq.sampling_params
+            do_sample[s] = sp.temperature > 0
+            base_seed = sp.seed if sp.seed is not None else seq.seq_id
+            seeds[s] = np.uint32(
+                (base_seed * 1000003 + self._step_counter) & 0xFFFFFFFF
             )
-            outs, probs = self.draft.executor.execute_with_probs(mi, si)
-            next_tokens = np.asarray(outs.next_tokens)
-            probs_np = np.asarray(probs)
-            draft_ids.append(next_tokens[:S])
-            draft_probs.append(probs_np[:S])
-            # Append draft tokens + commit draft KV.
-            for s, e in enumerate(b.entries):
-                e.seq.commit_kv_cache(e.num_tokens, EngineType.SSM)
-                e.seq.append_token(int(next_tokens[s]))
-        HISTOGRAMS.observe("draft_execution_latency_seconds", time.monotonic() - t0)
-
-        # ---- one target pass over the k+1 tail positions
-        t0 = time.monotonic()
-        tb = Batch()
-        for seq in seqs:
-            seq.engine_type = EngineType.LLM
-            uncached = seq.num_tokens - seq.num_kv_cache_tokens(EngineType.LLM)
-            assert uncached == k + 1, (uncached, k)
-            tb.add(seq, uncached)
-        mi, si, _ = tb.prepare_model_inputs(
-            self.options.block_size, self._step_counter, selected_per_seq=k + 1
+            temperatures[s] = sp.temperature
+            top_ks[s] = sp.top_k if sp.top_k > 0 else 0
+            top_ps[s] = sp.top_p
+        inp = SpecInputs(
+            first_tokens=first_tokens,
+            positions0=positions0,
+            slot_ids=slot_ids,
+            block_tables=block_tables,
+            seq_mask=seq_mask,
+            num_seqs=np.array([S_real], np.int32),
+            do_sample=do_sample,
+            seeds=seeds,
         )
-        S_pad = mi.kv_lens.shape[0]
-        logits = np.asarray(
-            self.target.executor.forward_logits(mi, si, k + 1)
-        )  # [S_pad*(k+1), V]
-        V = logits.shape[-1]
-        target_logits = logits.reshape(S_pad, k + 1, V)[:S]
+        # Penalties intentionally omitted from the in-round distributions
+        # (the reference's speculative path also applies penalties only at
+        # the per-step LogitsProcessor granularity; histograms can't update
+        # mid-round on device).
+        si = SamplingInputs(
+            temperatures=temperatures,
+            top_ks=top_ks,
+            top_ps=top_ps,
+            frequency_penalties=np.zeros(S, np.float32),
+            presence_penalties=np.zeros(S, np.float32),
+            repetition_penalties=np.ones(S, np.float32),
+            unique_token_ids=np.zeros((S, 1), np.int32),
+            unique_token_counts=np.zeros((S, 1), np.int32),
+            seeds=seeds,
+        )
+
+        t0 = time.monotonic()
+        accepted, draft_ids = self.spec_executor.execute(inp, si)
         HISTOGRAMS.observe("target_execution_latency_seconds", time.monotonic() - t0)
-
-        # ---- rejection sampling (reference: rejection_sampler.h:9)
-        t0 = time.monotonic()
-        d_ids = np.stack(draft_ids, axis=1)  # [S, k]
-        d_probs = np.stack(draft_probs, axis=1)  # [S, k, V]
-        t_probs = _softmax(target_logits)  # [S, k+1, V]
-        do_sample = np.asarray(
-            [seq.sampling_params.temperature > 0 for seq in seqs], dtype=bool
-        )
-        seeds = np.asarray(
-            [(seq.seq_id * 1000003 + self._step_counter) & 0xFFFFFFFF for seq in seqs],
-            dtype=np.uint32,
-        )
-        accepted = np.asarray(
-            rejection_sample(d_ids, d_probs, t_probs, do_sample, seeds)
-        )  # [S, k+1]
 
         # ---- write back (reference: batch.cpp:304 process_validate_output)
         num_accepted = 0
-        for s, e in enumerate(tb.entries):
-            e.seq.commit_kv_cache(e.num_tokens, EngineType.LLM)
-            num_accepted += e.seq.validate_tokens(accepted[s].tolist())
+        for s, seq in enumerate(seqs):
+            for i in range(k):
+                seq.append_token(int(draft_ids[s, i]))
+            seq.commit_kv_cache(k, EngineType.SSM)
+            seq.commit_kv_cache(k + 1, EngineType.LLM)
+            num_accepted += seq.validate_tokens(accepted[s].tolist())
+            # The scheduler computes uncached counts against the CURRENT
+            # engine type; leave sequences accounted under the target.
+            seq.engine_type = EngineType.LLM
         COUNTERS.inc("num_accepted_tokens_total", num_accepted)
-        COUNTERS.inc("num_draft_tokens_total", S * k)
-        HISTOGRAMS.observe("validation_latency_seconds", time.monotonic() - t0)
-
-
-def _softmax(x: np.ndarray) -> np.ndarray:
-    m = x.max(axis=-1, keepdims=True)
-    e = np.exp(x - m)
-    return e / e.sum(axis=-1, keepdims=True)
+        COUNTERS.inc("num_draft_tokens_total", S_real * k)

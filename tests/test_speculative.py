@@ -75,6 +75,71 @@ def tiny_model(tmp_path_factory):
     return fixtures.make_tiny_llama(str(d), tokenizer=True)
 
 
+def test_speculative_greedy_over_tp_mesh(tiny_model):
+    """The fused speculative program composes with tensor parallelism: one
+    shard_map runs draft scan + target verify over the mesh (the round-1
+    executor hard-asserted mesh is None here)."""
+    import numpy as np
+    import jax
+    from jax.sharding import Mesh
+
+    from scalellm_tpu import LLM, SamplingParams
+
+    sp = SamplingParams(max_tokens=10, temperature=0.0, ignore_eos=True)
+    plain = LLM(
+        tiny_model, block_size=4, num_blocks=256, enable_cuda_graph=False
+    )
+    expected = plain.generate(["hello world"], sp)[0].outputs[0].token_ids
+    del plain
+
+    mesh = Mesh(np.array(jax.devices()[:2]).reshape(1, 2), ("dp", "tp"))
+    spec = LLM(
+        tiny_model, draft_model=tiny_model, num_speculative_tokens=3,
+        block_size=4, num_blocks=256, enable_cuda_graph=False,
+        tp_size=2, mesh=mesh,
+    )
+    got = spec.generate(["hello world"], sp)[0].outputs[0].token_ids
+    assert got == expected
+
+
+def test_speculative_fallback_on_irregular_kv_lag(tiny_model):
+    """A sequence entering a spec round with target KV lag != 1 (e.g. after
+    preemption) must fall back to a plain step, not crash (round-1 hard
+    assert)."""
+    from scalellm_tpu.engine.llm_engine import EngineOptions
+    from scalellm_tpu.request.sequence import EngineType
+    from scalellm_tpu.speculative.speculative_engine import SpeculativeEngine
+    from scalellm_tpu.engine.batch import Batch
+    from scalellm_tpu.request.sequence import Sequence
+    from scalellm_tpu.request.stopping import StoppingCriteria
+    from scalellm_tpu.sampling.params import SamplingParams as SP
+
+    eng = SpeculativeEngine(EngineOptions(
+        model_path=tiny_model, draft_model_path=tiny_model,
+        num_speculative_tokens=2, block_size=4, num_blocks=64,
+        warmup=False,
+    ))
+    seq = Sequence(
+        0, [1, 2, 3], SP(max_tokens=8, ignore_eos=True),
+        StoppingCriteria(max_tokens=8, ignore_eos=True),
+    )
+    # allocate blocks for prompt + 1 + spec overhead
+    eng.block_manager.allocate_blocks_for(seq, 8)
+    b = Batch()
+    b.add(seq, 3)
+    eng.execute_model(b)  # prefill (mixed path)
+    assert seq.num_tokens == 4
+    # Simulate preemption-induced rewind: target KV lags by 2, while the
+    # draft counter still claims lag 1 — a decode-shaped batch entry now
+    # violates the fused-round precondition and must take the fallback.
+    seq._num_kv_cache_tokens[EngineType.LLM] = 2
+    seq.engine_type = EngineType.SSM  # batch.add accounts under SSM (lag 1)
+    b2 = Batch()
+    b2.add(seq, 1)
+    eng.execute_model(b2)  # round-1 code: AssertionError; now: plain step
+    assert seq.num_tokens >= 4
+
+
 def test_speculative_greedy_matches_plain(tiny_model):
     """Draft == target + greedy: every draft is accepted and the output
     must equal non-speculative greedy decoding."""
