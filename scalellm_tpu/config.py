@@ -127,10 +127,11 @@ class QuantArgs:
     is_sym: bool = True
     zero_point: bool = False  # awq uses zero points
 
-    # Quantize the (checkpoint-fp16) lm_head to int8 at load time — saves
-    # its full HBM read every decode step (the checkpoint formats leave the
-    # lm_head unquantized). Off by default to keep checkpoint-exact logits.
-    quantize_lm_head: bool = False
+    # Quantize the (checkpoint-fp16) lm_head at load time — saves its full
+    # HBM read every decode step (the checkpoint formats leave the lm_head
+    # unquantized). False = off (checkpoint-exact logits), True = int8,
+    # "int4" = int4 (halves the read again).
+    quantize_lm_head: "bool | str" = False
 
     @property
     def enabled(self) -> bool:

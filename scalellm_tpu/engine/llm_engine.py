@@ -49,8 +49,13 @@ class EngineOptions:
     num_speculative_tokens: int = 0
     # KV cache quantization: "auto" | "int8"
     kv_cache_dtype: str = "auto"
-    # Runtime int8 quantization of the lm_head for quantized models.
-    quantize_lm_head: bool = False
+    # Runtime int8/int4 quantization of the lm_head for quantized models
+    # (False | True=int8 | "int4").
+    quantize_lm_head: "bool | str" = False
+    # Runtime weight quantization of DENSE checkpoints: "" | "int4" | "int8"
+    # (serving-time quantization — the reference only loads pre-quantized
+    # GPTQ/AWQ checkpoints; see quantization/runtime.py).
+    quantize: str = ""
     # Persistent XLA compilation cache dir ("" = env SCALELLM_COMPILE_CACHE
     # or disabled). Buckets compile once ever, not once per process — warm
     # restarts skip all jit compiles.
@@ -116,6 +121,22 @@ class LLMEngine:
         self.model = factory(self.model_args, parallel)
 
         params = loader.load_params(self.model)
+        if options.quantize and not (
+            self.model_args.quant_args and self.model_args.quant_args.enabled
+        ):
+            from scalellm_tpu.config import QuantArgs
+            from scalellm_tpu.quantization.runtime import quantize_model_params
+
+            qargs = QuantArgs(
+                quant_method="internal",
+                bits=4 if options.quantize == "int4" else 8,
+                group_size=128,
+                quantize_lm_head=options.quantize_lm_head,
+            )
+            self.model, params = quantize_model_params(self.model, params, qargs)
+            self.model_args = self.model.args
+            self.quant_args = qargs
+            logger.info("runtime-quantized dense checkpoint to %s", options.quantize)
         self.executor = Executor(
             self.model,
             params,

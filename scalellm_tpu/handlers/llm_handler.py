@@ -59,7 +59,8 @@ class LLMHandlerOptions:
     num_blocks: int = 0  # direct override (tests)
     max_context_len: int = 0  # 0 = model's max_position_embeddings
     kv_cache_dtype: str = "auto"  # "auto" | "int8"
-    quantize_lm_head: bool = False
+    quantize_lm_head: "bool | str" = False  # False | True=int8 | "int4"
+    quantize: str = ""  # runtime quant of dense checkpoints: "" | "int4" | "int8"
 
 
 class LLMHandler:
@@ -78,6 +79,7 @@ class LLMHandler:
             num_speculative_tokens=options.num_speculative_tokens,
             kv_cache_dtype=options.kv_cache_dtype,
             quantize_lm_head=options.quantize_lm_head,
+            quantize=options.quantize,
         )
         if options.draft_model_path:
             from scalellm_tpu.speculative.speculative_engine import SpeculativeEngine

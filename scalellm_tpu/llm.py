@@ -33,6 +33,8 @@ class LLM:
         tp_size: int = 1,
         num_blocks: int = 0,
         kv_cache_dtype: str = "auto",
+        quantize: str = "",
+        quantize_lm_head: "bool | str" = False,
         mesh=None,
     ) -> None:
         options = LLMHandlerOptions(
@@ -50,6 +52,8 @@ class LLM:
             tp_size=tp_size,
             num_blocks=num_blocks,
             kv_cache_dtype=kv_cache_dtype,
+            quantize=quantize,
+            quantize_lm_head=quantize_lm_head,
         )
         self._handler = LLMHandler(options, mesh=mesh)
 

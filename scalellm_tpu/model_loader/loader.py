@@ -203,6 +203,18 @@ class HFModelLoader:
                 len(unmatched),
                 ", ".join(unmatched[:5]),
             )
+        # Synthetic (non-checkpoint) params: int8-KV per-layer scales default
+        # to ModelArgs.kv_scale; calibration overwrites them post-load
+        # (eval/kv_calibration.py).
+        if "layers" in shapes and "kv_scales" in shapes.get("layers", {}):
+            bufs.setdefault(
+                "layers.kv_scales",
+                np.full(shapes["layers"]["kv_scales"], args.kv_scale, np.float32),
+            )
+            filled["layers.kv_scales"] = np.ones(
+                shapes["layers"]["kv_scales"][:1], dtype=bool
+            )
+
         if verify:
             expected = _leaf_paths(shapes)
             missing = [

@@ -160,6 +160,10 @@ class DecoderModel:
         if a.use_qk_norm:
             layers["q_norm"] = (L, Dh)
             layers["k_norm"] = (L, Dh)
+        if self.kv_quant:
+            # Per-layer [k_scale, v_scale] for the int8 KV cache — filled by
+            # calibration (eval/kv_calibration.py) or ModelArgs.kv_scale.
+            layers["kv_scales"] = (L, 2)
         shapes = {
             "embed_tokens": (V, D),
             "layers": layers,
@@ -172,8 +176,9 @@ class DecoderModel:
         if not a.tie_word_embeddings:
             if self._lm_head_quant():
                 g = 128
+                pack = 2 if self._lm_head_bits() == 4 else 1
                 shapes["lm_head"] = {
-                    "qweight": (D, V),
+                    "qweight": (D // pack, V),
                     "scales": (D // g, V),
                     "zeros": (D // g, V),
                 }
@@ -190,11 +195,44 @@ class DecoderModel:
             and self.args.hidden_size % 128 == 0
         )
 
+    def _lm_head_bits(self) -> int:
+        """quantize_lm_head: truthy → int8; the string "int4" halves the
+        biggest single decode-step HBM read again (b=1: lm_head is ~13% of
+        the 8B INT4 step)."""
+        opt = getattr(self.quant, "quantize_lm_head", False)
+        return 4 if opt == "int4" else 8
+
+    def _tile_n(self, n_local: int) -> int:
+        """Stored quant tile width for a LOCAL (per-shard) output width —
+        the largest power-of-two ≤ DEFAULT_TILE_N dividing nothing in
+        particular: widths are simply padded up to a tile multiple."""
+        from scalellm_tpu.ops.quant_matmul import DEFAULT_TILE_N
+
+        return min(DEFAULT_TILE_N, n_local)
+
+    def _tiled_shape(self, triple: Dict[str, Tuple], tp_sharded: bool) -> Dict[str, Tuple]:
+        """Flat quant triple shapes (L, R, N) → tiled (L, n_n, R, W). For
+        column-parallel (tp_sharded) params, each shard's chunk is tiled and
+        padded independently so PartitionSpec over the tile dim shards
+        cleanly."""
+        tp = self.parallel.tp_size if tp_sharded else 1
+        L, Rq, N = triple["qweight"]
+        n_local = N // tp
+        W = self._tile_n(n_local)
+        n_tiles_local = -(-n_local // W)  # ceil
+        n_n = n_tiles_local * tp
+        out = {}
+        for key, (l, r, _) in triple.items():
+            out[key] = (l, n_n, r, W)
+        return out
+
     def param_shapes(self) -> Dict[str, Any]:
         """Runtime (fused) global shapes: q/k/v fused into qkv_proj and
         gate/up into gate_up_proj (reference: qkv_parallel_linear.h:17,
         multi_parallel_linear.h:73) — one projection launch instead of
-        three/two on the per-layer critical path."""
+        three/two on the per-layer critical path. Quantized projections are
+        stored in the N-TILED layout (ops/quant_matmul.py tile_quant_layout)
+        so kernel grid cells read contiguous HBM blocks."""
         a = self.args
         shapes = self.load_param_shapes()
         layers = shapes["layers"]
@@ -226,6 +264,19 @@ class DecoderModel:
             if a.mlp_bias:
                 del layers["gate_bias"], layers["up_bias"]
                 layers["gate_up_bias"] = (L, 2 * F)
+        # Tile every quant triple (fused or not) for contiguous kernel reads.
+        if self.quant is not None:
+            col_parallel = {"qkv_proj", "gate_up_proj", "up_proj"}
+            for name, node in list(layers.items()):
+                if isinstance(node, dict) and "qweight" in node:
+                    layers[name] = self._tiled_shape(node, name in col_parallel)
+        if self._lm_head_quant() and "lm_head" in shapes:
+            shapes["lm_head"] = self._tiled_shape(
+                {k: (1,) + v for k, v in shapes["lm_head"].items()}, True
+            )
+            shapes["lm_head"] = {
+                k: v[1:] for k, v in shapes["lm_head"].items()
+            }
         return shapes
 
     def fuse_params(self, params: Dict[str, Any]) -> Dict[str, Any]:
@@ -260,11 +311,13 @@ class DecoderModel:
                 layers[out_name] = interleave(vals)
 
         if self._lm_head_quant() and "lm_head" in params:
-            from scalellm_tpu.ops.quant_matmul import quantize_int8
+            from scalellm_tpu.ops.quant_matmul import quantize_int4, quantize_int8
 
-            qw, sc, zp = quantize_int8(
-                np.asarray(params["lm_head"], dtype=np.float32), 128
-            )
+            lm = np.asarray(params["lm_head"], dtype=np.float32)
+            if self._lm_head_bits() == 4:
+                qw, sc, zp = quantize_int4(lm, 128)
+            else:
+                qw, sc, zp = quantize_int8(lm, 128)
             params["lm_head"] = {"qweight": qw, "scales": sc, "zeros": zp}
         fuse(["q_proj", "k_proj", "v_proj"], "qkv_proj")
         if a.qkv_bias:
@@ -273,6 +326,47 @@ class DecoderModel:
             fuse(["gate_proj", "up_proj"], "gate_up_proj")
             if a.mlp_bias:
                 fuse(["gate_bias", "up_bias"], "gate_up_bias")
+        # Tile quant triples into the contiguous-read layout (per-shard
+        # padding for column-parallel params so tile-dim sharding is clean).
+        self.tile_quant_params(params)
+        return params
+
+    def tile_quant_params(self, params: Dict[str, Any]) -> Dict[str, Any]:
+        """In-place: convert every flat quant triple (layers + lm_head) in a
+        FUSED host param tree to the N-tiled layout of param_shapes()."""
+        import numpy as np
+
+        if self.quant is None:
+            return params
+        from scalellm_tpu.ops.quant_matmul import tile_quant_layout
+
+        tp = self.parallel.tp_size
+        col_parallel = {"qkv_proj", "gate_up_proj", "up_proj"}
+
+        def tile_triple(triple, tp_sharded):
+            tp_n = tp if tp_sharded else 1
+            W = self._tile_n(triple["qweight"].shape[-1] // tp_n)
+            out = {}
+            for key, arr in triple.items():
+                if tp_n == 1:
+                    out[key] = tile_quant_layout(arr, W)
+                else:
+                    chunks = np.split(arr, tp_n, axis=-1)
+                    out[key] = np.concatenate(
+                        [tile_quant_layout(c, W) for c in chunks],
+                        axis=-3,
+                    )
+            return out
+
+        layers = params["layers"]
+        for name, node in list(layers.items()):
+            if isinstance(node, dict) and "qweight" in node:
+                if np.asarray(node["qweight"]).ndim == 4:
+                    continue  # already tiled
+                layers[name] = tile_triple(node, name in col_parallel)
+        lm = params.get("lm_head")
+        if isinstance(lm, dict) and np.asarray(lm["qweight"]).ndim == 2:
+            params["lm_head"] = tile_triple(lm, True)
         return params
 
     def param_partition_specs(self) -> Dict[str, Any]:
@@ -282,22 +376,15 @@ class DecoderModel:
         tp = self.parallel.tp_axis
         a = self.args
         def proj_spec(row_parallel: bool):
-            """Column-parallel shards the N dim (last); row-parallel shards
-            the K dim — for quantized params that is dim 1 of qweight AND of
-            the per-group scales/zeros."""
+            """Column-parallel shards the N dim; row-parallel shards the K
+            dim. Quantized params are N-TILED (L, n_n, R, W): column-parallel
+            shards the tile dim (per-shard tiles are stored consecutively),
+            row-parallel shards the R (K-rows) dim of qweight AND of the
+            per-group scales/zeros."""
             if self.quant is None:
                 return P(None, tp, None) if row_parallel else P(None, None, tp)
-            if row_parallel:
-                return {
-                    "qweight": P(None, tp, None),
-                    "scales": P(None, tp, None),
-                    "zeros": P(None, tp, None),
-                }
-            return {
-                "qweight": P(None, None, tp),
-                "scales": P(None, None, tp),
-                "zeros": P(None, None, tp),
-            }
+            spec = P(None, None, tp, None) if row_parallel else P(None, tp, None, None)
+            return {"qweight": spec, "scales": spec, "zeros": spec}
 
         layers: Dict[str, Any] = {
             "input_norm": P(None, None),
@@ -350,6 +437,8 @@ class DecoderModel:
         if a.use_qk_norm:
             layers["q_norm"] = P(None, None)
             layers["k_norm"] = P(None, None)
+        if self.kv_quant:
+            layers["kv_scales"] = P(None, None)
         specs = {
             "embed_tokens": P(None, None),  # replicated (allreduce-free)
             "layers": layers,
@@ -361,10 +450,12 @@ class DecoderModel:
             specs["embed_positions"] = P(None, None)
         if not a.tie_word_embeddings:
             if self._lm_head_quant():
+                # tiled (n_n, R, W): vocab tiles sharded over tp
+                lm_spec = P(tp, None, None)
                 specs["lm_head"] = {
-                    "qweight": P(None, tp),
-                    "scales": P(None, tp),
-                    "zeros": P(None, tp),
+                    "qweight": lm_spec,
+                    "scales": lm_spec,
+                    "zeros": lm_spec,
                 }
             else:
                 specs["lm_head"] = P(None, tp)  # vocab-sharded, all-gathered
@@ -394,6 +485,8 @@ class DecoderModel:
                 return jnp.zeros(path_shape, dtype=jnp.int8)
             if name == "scales":
                 return jnp.full(path_shape, scale / 8.0, dtype=jnp.float32)
+            if name == "kv_scales":
+                return jnp.full(path_shape, self.args.kv_scale, dtype=jnp.float32)
             return (
                 jax.random.normal(key, path_shape, dtype=jnp.float32) * scale
             ).astype(dtype)
@@ -430,12 +523,16 @@ class DecoderModel:
         if isinstance(w, dict):
             from scalellm_tpu.ops.quant_matmul import quant_matmul
 
+            # Symmetric checkpoints (GPTQ sym / internal quantizer) skip the
+            # zero-point load + correction entirely in the kernel.
+            sym = bool(self.quant.is_sym and not self.quant.zero_point)
             out = quant_matmul(
                 x,
                 w["qweight"],
                 w["scales"],
                 w["zeros"],
                 bits=self.quant.bits,
+                symmetric=sym,
             )
             return out.astype(jnp.float32)
         return jnp.dot(x, w, preferred_element_type=jnp.float32)
@@ -491,9 +588,12 @@ class DecoderModel:
         windows = self._layer_windows()
         soft_cap = a.attn_logit_soft_cap if a.attn_logit_soft_cap > 0 else None
 
-        kv_scale = a.kv_scale if self.kv_quant else None
-
         def attend(q, kvc, window):
+            # int8 KV: pages store round(x / s) with per-layer calibrated
+            # scales (lp["kv_scales"]); the kernel only takes STATIC float
+            # scales, so dequant is applied algebraically — q pre-scaled by
+            # s_k (scores are linear in k) and the output post-scaled by s_v
+            # — with the kernel's own scale pinned to 1.0.
             return self.attn_impl(
                 q,
                 kvc,
@@ -504,26 +604,28 @@ class DecoderModel:
                 sm_scale=sm_scale,
                 sliding_window=window,
                 logit_soft_cap=soft_cap,
-                k_scale=kv_scale,
-                v_scale=kv_scale,
+                k_scale=1.0 if self.kv_quant else None,
+                v_scale=1.0 if self.kv_quant else None,
             )
 
         def dense_ffn(lp, x):
             """Gated/plain FFN, pre-psum partial result. Gated path uses the
             fused gate_up projection (one launch)."""
+            F = a.moe_shared_intermediate if a.n_experts > 0 else a.intermediate_size
+            F_local = F // self.parallel.tp_size
             if a.mlp_gated:
                 gu = self._proj(x, lp["gate_up_proj"])
                 if a.mlp_bias:
-                    gu = gu + lp["gate_up_bias"].astype(jnp.float32)
-                F_local = gu.shape[-1] // 2
-                g, u = gu[:, :F_local], gu[:, F_local:]
+                    gu = gu[:, : 2 * F_local] + lp["gate_up_bias"].astype(jnp.float32)
+                # explicit widths: tiled quant outputs may carry N padding
+                g, u = gu[:, :F_local], gu[:, F_local : 2 * F_local]
                 m = act_with_mul(a.hidden_act, g, u).astype(x.dtype)
             else:
-                u = self._proj(x, lp["up_proj"])
+                u = self._proj(x, lp["up_proj"])[:, :F_local]
                 if a.mlp_bias:
                     u = u + lp["up_bias"].astype(jnp.float32)
                 m = ACT2FN[a.hidden_act](u).astype(x.dtype)
-            return self._proj(m, lp["down_proj"])
+            return self._proj(m, lp["down_proj"])[:, : a.hidden_size]
 
         def mlp(lp, x):
             if a.n_experts > 0:
@@ -576,7 +678,8 @@ class DecoderModel:
             kv_n = Hkv_local * Dh
             q = qkv[:, :q_n]
             k = qkv[:, q_n : q_n + kv_n]
-            v = qkv[:, q_n + kv_n :]
+            # explicit end: tiled quant outputs may carry trailing N padding
+            v = qkv[:, q_n + kv_n : q_n + 2 * kv_n]
             T = q.shape[0]
             q = q.astype(h.dtype).reshape(T, H_local, Dh)
             k = k.astype(h.dtype).reshape(T, Hkv_local, Dh)
@@ -594,9 +697,16 @@ class DecoderModel:
                 k = jnp.pad(k, pad)
                 v = jnp.pad(v, pad)
 
+            if self.kv_quant:
+                ks = lp["kv_scales"][0].astype(jnp.float32)
+                vs = lp["kv_scales"][1].astype(jnp.float32)
+            else:
+                ks = vs = None
             kvc = set_kv_cache(
-                kvc, k, v, mi.new_kv_slot_ids, k_scale=kv_scale, v_scale=kv_scale
+                kvc, k, v, mi.new_kv_slot_ids, k_scale=ks, v_scale=vs
             )
+            if self.kv_quant:
+                q = (q.astype(jnp.float32) * ks).astype(q.dtype)
 
             if windows is None:
                 o = attend(q, kvc, a.sliding_window or None)
@@ -611,9 +721,13 @@ class DecoderModel:
                     q,
                     kvc,
                 )
+            if self.kv_quant:
+                o = (o.astype(jnp.float32) * vs).astype(o.dtype)
             if self.kv_head_dim != Dh:
                 o = o[..., :Dh]
-            o = self._proj(o.reshape(T, H_local * Dh), lp["o_proj"])
+            o = self._proj(o.reshape(T, H_local * Dh), lp["o_proj"])[
+                :, : a.hidden_size
+            ]
             if tp_axis is not None:
                 o = lax.psum(o, tp_axis)
             if a.o_proj_bias:
@@ -656,9 +770,11 @@ class DecoderModel:
             from scalellm_tpu.ops.quant_matmul import quant_matmul
 
             lm = params["lm_head"]
+            v_local = a.vocab_size // self.parallel.tp_size
             logits = quant_matmul(
-                hidden, lm["qweight"], lm["scales"], lm["zeros"], bits=8
-            ).astype(jnp.float32)
+                hidden, lm["qweight"], lm["scales"], lm["zeros"],
+                bits=self._lm_head_bits(), symmetric=True,
+            ).astype(jnp.float32)[:, :v_local]  # drop tile padding pre-gather
             if a.lm_head_bias:
                 logits = logits + params["lm_head_bias"].astype(jnp.float32)
             if self.parallel.tp_axis is not None:

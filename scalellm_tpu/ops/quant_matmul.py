@@ -21,6 +21,14 @@ Canonical layout (column-major groups, lane-aligned N):
 
 Dequant: w = (q - z) * s, computed in bf16 feeding the MXU.
 
+Tiled storage (the performance layout): the flat [K, N] tensors above may
+also be stored N-BLOCKED as qweight [N/W, K/2, W] (scales/zeros
+[N/W, K/G, W]) so each kernel grid cell reads one fully CONTIGUOUS block
+from HBM — wide-N weights in flat layout make every tile row a strided 4KB
+read, which measurably caps DMA bandwidth on v5e. `tile_quant_layout`
+converts (padding N up to a multiple of W with zero scales, which makes the
+padded output columns exactly 0 — callers slice back to N).
+
 Two kernel strategies, selected per call (both verified bit-stable vs the
 reference implementation):
   "group":   per-group batched MXU dots with POST-dot scaling (and the
@@ -101,6 +109,37 @@ def quantize_int8(
     return q.reshape(K, N), scales, zeros
 
 
+DEFAULT_TILE_N = 2048
+
+
+def tile_quant_layout(
+    arr: np.ndarray, tile_n: int = DEFAULT_TILE_N
+) -> np.ndarray:
+    """Flat [*, R, N] → N-blocked [*, N_pad/W, R, W] (contiguous kernel
+    tiles). Works for qweight/scales/zeros alike; pads N with zeros (zero
+    scales ⇒ padded output columns are exactly 0)."""
+    *lead, R, N = arr.shape
+    W = min(tile_n, N)
+    n_pad = (-N) % W
+    if n_pad:
+        pad = [(0, 0)] * len(lead) + [(0, 0), (0, n_pad)]
+        arr = np.pad(arr, pad)
+        N += n_pad
+    tiled = arr.reshape(*lead, R, N // W, W)
+    # move the tile dim before R
+    perm = list(range(len(lead))) + [len(lead) + 1, len(lead), len(lead) + 2]
+    return np.ascontiguousarray(tiled.transpose(perm))
+
+
+def untile_quant_layout(arr: np.ndarray) -> np.ndarray:
+    """Inverse of tile_quant_layout (keeps any N padding)."""
+    *lead, n_n, R, W = arr.shape
+    perm = list(range(len(lead))) + [len(lead) + 1, len(lead), len(lead) + 2]
+    return np.ascontiguousarray(
+        np.asarray(arr).transpose(perm).reshape(*lead, R, n_n * W)
+    )
+
+
 # ---------------------------------------------------------------- reference
 
 
@@ -133,12 +172,17 @@ def ref_quant_matmul(
 
 
 def _unpack_tile(qw_ref, bits):
+    qw = qw_ref[0] if qw_ref.ndim == 3 else qw_ref[:]  # tiled: [1, R, W]
     if bits == 4:
         # The nibble layout (low nibble = even K row) matches int4's
         # little-endian element order, so the unpack is free (a hardware
         # int4→bf16 convert) instead of a VPU shift/mask/shuffle chain.
-        return pltpu.bitcast(qw_ref[:], jnp.int4)
-    return qw_ref[:]
+        return pltpu.bitcast(qw, jnp.int4)
+    return qw
+
+
+def _aux_tile(ref):
+    return ref[0] if ref.ndim == 3 else ref[:]
 
 
 def _group_kernel(x_ref, qw_ref, sc_ref, *rest, n_k: int, bits: int, symmetric: bool):
@@ -164,7 +208,8 @@ def _group_kernel(x_ref, qw_ref, sc_ref, *rest, n_k: int, bits: int, symmetric: 
 
     w = _unpack_tile(qw_ref, bits)  # [BK, BN]
     bk, bn = w.shape
-    n_g = sc_ref.shape[0]
+    s = _aux_tile(sc_ref).astype(jnp.float32)  # [n_g, BN]
+    n_g = s.shape[0]
     G = bk // n_g
     m = x_ref.shape[0]
     w = w.reshape(n_g, G, bn)
@@ -172,12 +217,11 @@ def _group_kernel(x_ref, qw_ref, sc_ref, *rest, n_k: int, bits: int, symmetric: 
     dots = jax.lax.dot_general(
         x, w, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )  # [n_g, M, BN]
-    s = sc_ref[:].astype(jnp.float32)  # [n_g, BN]
     if symmetric:
         acc_ref[:] += jnp.sum(dots * s[:, None, :], axis=0)
     else:
         xsum = jnp.sum(x.astype(jnp.float32), axis=2)  # [n_g, M]
-        z = zp_ref[:].astype(jnp.float32)
+        z = _aux_tile(zp_ref).astype(jnp.float32)
         corr = xsum[:, :, None] * z[:, None, :]
         acc_ref[:] += jnp.sum((dots - corr) * s[:, None, :], axis=0)
 
@@ -206,14 +250,14 @@ def _dequant_kernel(x_ref, qw_ref, sc_ref, *rest, n_k: int, bits: int, symmetric
 
     w = _unpack_tile(qw_ref, bits)
     bk, bn = w.shape
-    n_g = sc_ref.shape[0]
+    s = _aux_tile(sc_ref).astype(jnp.bfloat16)  # [n_g, BN]
+    n_g = s.shape[0]
     G = bk // n_g
-    s = sc_ref[:].astype(jnp.bfloat16)  # [n_g, BN]
     wg = w.reshape(n_g, G, bn)
     if symmetric:
         wd = wg.astype(jnp.bfloat16) * s[:, None, :]
     else:
-        z = zp_ref[:].astype(jnp.bfloat16)  # [n_g, BN]
+        z = _aux_tile(zp_ref).astype(jnp.bfloat16)  # [n_g, BN]
         wd = (wg.astype(jnp.bfloat16) - z[:, None, :]) * s[:, None, :]
     wd = wd.reshape(bk, bn)
     acc_ref[:] += jnp.dot(x_ref[:], wd, preferred_element_type=jnp.float32)
@@ -243,16 +287,25 @@ def _default_backend() -> str:
         return "cpu"
 
 
+def _shrink_block_k(block_k: int, K: int, chunk: int) -> int:
+    """Largest multiple of `chunk` that divides K and is <= block_k
+    (falls back to K when K itself isn't chunk-aligned)."""
+    if K % chunk == 0 and K > chunk:
+        bk = (min(block_k, K) // chunk) * chunk
+        while bk > chunk and K % bk != 0:
+            bk -= chunk
+        return max(bk, chunk)
+    return K
+
+
 def _pick_blocks(M: int, K: int, N: int, bits: int) -> tuple[int, int, str]:
     """(block_n, block_k, variant) defaults per shape class, from v5e sweeps
     (benchmarks/quant_kernel_bench.py). Env QUANT_BLOCK_N/K and
     QUANT_VARIANT override for experiments."""
     bn = _env_int("QUANT_BLOCK_N", 0)
     bk = _env_int("QUANT_BLOCK_K", 0)
-    variant = _env_str("QUANT_VARIANT", "")
-    if not variant:
-        variant = "dequant" if M <= 16 else "group"
-    return (bn or 4096, bk or 1024, variant)
+    variant = _env_str("QUANT_VARIANT", "") or "group"
+    return (bn or 4096, bk or 2048, variant)
 
 
 @functools.partial(
@@ -271,34 +324,40 @@ def quant_matmul(
     symmetric: bool = False,
     variant: str = "",
 ) -> jnp.ndarray:
-    """x @ dequant(qweight) with fused dequantization."""
+    """x @ dequant(qweight) with fused dequantization.
+
+    qweight/scales/zeros may be flat ([K(/2), N]) or tiled ([N/W, K(/2), W],
+    see tile_quant_layout); tiled is the fast path (contiguous HBM reads).
+    Tiled output is [M, n_n*W] — callers slice off any N padding.
+    """
     backend = backend or _default_backend()
     M, K = x.shape
-    N = qweight.shape[-1]
+    tiled = qweight.ndim == 3
+    N = qweight.shape[0] * qweight.shape[2] if tiled else qweight.shape[-1]
     symmetric = symmetric or zeros is None
     if backend != "tpu":
+        if tiled:
+            perm = (1, 0, 2)
+            qweight = qweight.transpose(perm).reshape(qweight.shape[1], N)
+            scales = scales.transpose(perm).reshape(scales.shape[1], N)
+            if zeros is not None:
+                zeros = zeros.transpose(perm).reshape(zeros.shape[1], N)
         z = zeros if zeros is not None else jnp.zeros_like(scales, dtype=jnp.int8)
         return ref_quant_matmul(x, qweight, scales, z, bits)
 
     dn, dk, dv = _pick_blocks(M, K, N, bits)
-    block_n = block_n or dn
+    block_n = qweight.shape[2] if tiled else (block_n or dn)
     block_k = block_k or dk
     variant = variant or dv
 
-    G = K // scales.shape[0]
+    G = K // scales.shape[-2]
     block_n = min(block_n, N)
     # The scales/zeros blocks are [block_k/G, block_n]; Mosaic requires the
     # sublane dim to be a multiple of 8 (or the full array), so k-tiles are
     # multiples of 8*G. block_k must also DIVIDE K exactly: a partial tail
     # tile would feed padding garbage into the accumulation.
     chunk = 8 * G
-    if K % chunk == 0 and K > chunk:
-        bk = (min(block_k, K) // chunk) * chunk
-        while bk > chunk and K % bk != 0:
-            bk -= chunk
-        block_k = max(bk, chunk)
-    else:
-        block_k = K
+    block_k = _shrink_block_k(block_k, K, chunk)
     assert K % block_k == 0, (K, block_k)
     n_n = pl.cdiv(N, block_n)
     n_k = K // block_k
@@ -306,43 +365,58 @@ def quant_matmul(
     # M to sublane multiples measurably hurt at M=1), but prefill batches
     # must be tiled or they blow past the 16MB scoped-VMEM limit: the
     # group variant materializes an [n_g, BM, BN] f32 intermediate and the
-    # dequant variant a [BK, BN] bf16 tile, so large M needs BOTH an M grid
-    # dim and a smaller BN (measured OOMs at M=512: BN=4096 needs 18-23M).
-    # M>64 is prefill -> compute-bound; the extra weight re-fetches per M
-    # tile are amortized by the MXU work.
+    # dequant variant a [BK, BN] bf16 tile, so large M needs an M grid dim
+    # plus either a smaller BN (flat layout; measured OOMs at M=512 with
+    # BN=4096: 18-23M) or the dequant variant with a smaller BK (tiled
+    # layout, where BN is pinned to the stored tile width). M>64 is
+    # prefill -> compute-bound; the extra weight re-fetches per M tile are
+    # amortized by the MXU work.
     if M > 64:
-        block_n = min(block_n, 512)
-        n_n = pl.cdiv(N, block_n)
-        variant = "group"
+        if tiled:
+            variant = "dequant"
+            block_k = _shrink_block_k(
+                min(block_k, max(4 * 1024 * 1024 // (block_n * 2), chunk)),
+                K, chunk,
+            )
+        else:
+            block_n = min(block_n, 512)
+            n_n = pl.cdiv(N, block_n)
+            variant = "group"
+    n_k = K // block_k
     block_m = M if M <= 256 else 256
     n_m = pl.cdiv(M, block_m)
 
     qk_rows = block_k // 2 if bits == 4 else block_k
     kernel = _group_kernel if variant == "group" else _dequant_kernel
 
+    if tiled:
+        w_spec = pl.BlockSpec(
+            (1, qk_rows, block_n), lambda m, n, k: (n, k, 0),
+            memory_space=pltpu.VMEM,
+        )
+        aux_spec = pl.BlockSpec(
+            (1, block_k // G, block_n), lambda m, n, k: (n, k, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        w_spec = pl.BlockSpec(
+            (qk_rows, block_n), lambda m, n, k: (k, n), memory_space=pltpu.VMEM
+        )
+        aux_spec = pl.BlockSpec(
+            (block_k // G, block_n), lambda m, n, k: (k, n),
+            memory_space=pltpu.VMEM,
+        )
     in_specs = [
         pl.BlockSpec(
             (block_m, block_k), lambda m, n, k: (m, k), memory_space=pltpu.VMEM
         ),
-        pl.BlockSpec(
-            (qk_rows, block_n), lambda m, n, k: (k, n), memory_space=pltpu.VMEM
-        ),
-        pl.BlockSpec(
-            (block_k // G, block_n),
-            lambda m, n, k: (k, n),
-            memory_space=pltpu.VMEM,
-        ),
+        w_spec,
+        aux_spec,
     ]
     operands = [x.astype(jnp.bfloat16), qweight, scales]
     bytes_w = qweight.size * 1 + scales.size * scales.dtype.itemsize
     if not symmetric:
-        in_specs.append(
-            pl.BlockSpec(
-                (block_k // G, block_n),
-                lambda m, n, k: (k, n),
-                memory_space=pltpu.VMEM,
-            )
-        )
+        in_specs.append(aux_spec)
         operands.append(zeros)
         bytes_w += zeros.size
 
