@@ -207,13 +207,20 @@ class HFModelLoader:
         # to ModelArgs.kv_scale; calibration overwrites them post-load
         # (eval/kv_calibration.py).
         if "layers" in shapes and "kv_scales" in shapes.get("layers", {}):
-            bufs.setdefault(
-                "layers.kv_scales",
-                np.full(shapes["layers"]["kv_scales"], args.kv_scale, np.float32),
-            )
-            filled["layers.kv_scales"] = np.ones(
-                shapes["layers"]["kv_scales"][:1], dtype=bool
-            )
+            kv_shape = shapes["layers"]["kv_scales"]
+            scales = np.full(kv_shape, args.kv_scale, np.float32)
+            # Calibrated per-layer scales sidecar (eval/kv_calibration.py).
+            sidecar = os.path.join(self.model_path, "kv_scales.json")
+            if os.path.exists(sidecar):
+                with open(sidecar) as f:
+                    data = json.load(f)
+                scales = np.stack(
+                    [np.asarray(data["k"]), np.asarray(data["v"])], axis=1
+                ).astype(np.float32)
+                assert scales.shape == tuple(kv_shape), (scales.shape, kv_shape)
+                logger.info("loaded calibrated kv scales from %s", sidecar)
+            bufs.setdefault("layers.kv_scales", scales)
+            filled["layers.kv_scales"] = np.ones(kv_shape[:1], dtype=bool)
 
         if verify:
             expected = _leaf_paths(shapes)
