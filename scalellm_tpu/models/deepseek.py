@@ -6,10 +6,20 @@ implements the family end-to-end.
 
 MLA: queries/keys split into a no-position part and a small shared rope
 part; K/V are produced from a low-rank latent (kv_lora_rank) that the
-checkpoint factorizes via kv_a/kv_b projections. This round caches the
-DECOMPRESSED per-head K/V in the standard paged layout (correctness-first;
-latent-cache compression is the planned optimization), with K and V padded
-to a common lane-aligned head dim for the ragged attention kernel.
+checkpoint factorizes via kv_a/kv_b projections.
+
+LATENT KV CACHE (the point of MLA): pages store only [c_kv | k_pe]
+(kv_lora_rank + rope dims ≈ 576 per token) instead of H*(qk+v) decompressed
+heads — a 7× (V2-Lite, H=16) to 57× (V2, H=128) KV-memory reduction vs MHA
+(reference kernel: src/kernels/attention/kernel/sm80_kernel_mla.cuh). The
+attention itself runs in the ABSORBED formulation, i.e. MLA-as-MQA:
+  scores = q̃·c_kv + q_pe·k_pe   with q̃ = q_nope @ W_UK  (per head)
+  out    = softmax(scores)·c_kv @ W_UV
+where W_UK/W_UV are the two halves of kv_b. This folds the per-head K/V
+decompression into the query/output instead of the cache, so the same
+ragged paged attention kernel serves MLA with ONE shared kv head of
+lane-padded dim 640 — no bespoke attention kernel needed on TPU (the MXU
+eats the extra [H, nope]×[nope, R] absorb dots).
 
 MoE: first_k_dense_replace dense layers then MoE layers with shared experts
 (added directly, no gate) and greedy or group-limited-greedy routing scaled
@@ -97,10 +107,12 @@ class MLADecoderModel:
         self.attn_impl = attn_impl or ragged_paged_attention
         a = args
         self.qk_head_dim = a.qk_nope_head_dim + a.qk_rope_head_dim
-        # K and V share the cache pages; pad to a common lane-aligned dim.
-        self.kv_head_dim = kernel_head_dim(max(self.qk_head_dim, a.v_head_dim))
+        # Latent cache: one shared kv "head" holding [c_kv | k_pe],
+        # lane-padded for the attention kernel (576 → 640 on TPU).
+        self.latent_dim = a.kv_lora_rank + a.qk_rope_head_dim
+        self.kv_head_dim = kernel_head_dim(self.latent_dim)
         self.n_local_heads = a.n_heads
-        self.n_local_kv_heads = a.n_heads  # MLA decompressed = full MHA
+        self.n_local_kv_heads = 1  # MLA absorbed = MQA over the latent
         self.kv_replication = 1
         self.quant = None  # quantized deepseek checkpoints TBD
         self.kv_quant = a.kv_cache_dtype == "int8"
@@ -176,8 +188,9 @@ class MLADecoderModel:
         return rep(self.param_shapes())
 
     def kv_cache_shape(self, num_pages: int, page_size: int) -> Tuple[int, ...]:
+        # 2 combined heads (K=[c_kv|k_pe] even, V=[c_kv] odd) of latent dim.
         a = self.args
-        return (a.n_layers, num_pages, page_size, 2 * a.n_heads, self.kv_head_dim)
+        return (a.n_layers, num_pages, page_size, 2, self.kv_head_dim)
 
     def kv_cache_partition_spec(self) -> P:
         return P(None, None, None, None, None)
@@ -239,10 +252,18 @@ class MLADecoderModel:
         return jnp.cos(freqs) * mscale, jnp.sin(freqs) * mscale
 
     def _attention(self, lp, h, mi, cos, sin, kvc):
+        """Absorbed MLA-as-MQA over the latent cache (see module docstring).
+
+        Cache write: K = [c_kv | k_pe_roped], V = [c_kv | 0] (one shared
+        head, lane-padded). Query: [q_nope @ W_UK | q_pe]. Output:
+        attention latent @ W_UV. Numerically identical to decompressed MHA:
+        q_nope·k_nope = (q_nope W_UK)·c_kv and attn·v = (attn·c_kv) W_UV.
+        """
         a = self.args
         H = a.n_heads
         nope, r, vd = a.qk_nope_head_dim, a.qk_rope_head_dim, a.v_head_dim
         qk = self.qk_head_dim
+        R = a.kv_lora_rank
         Dc = self.kv_head_dim
         T = h.shape[0]
 
@@ -257,29 +278,32 @@ class MLADecoderModel:
         q_nope, q_pe = q[..., :nope], q[..., nope:]
 
         ckv = jnp.dot(x, lp["kv_a"], preferred_element_type=jnp.float32).astype(h.dtype)
-        c_kv, k_pe = ckv[:, : a.kv_lora_rank], ckv[:, a.kv_lora_rank :]
+        c_kv, k_pe = ckv[:, : R], ckv[:, R:]
         c_kv = rms_norm(c_kv, lp["kv_a_norm"], a.rms_norm_eps)
-        kv = jnp.dot(c_kv, lp["kv_b"], preferred_element_type=jnp.float32)
-        kv = kv.astype(h.dtype).reshape(T, H, nope + vd)
-        k_nope, v = kv[..., :nope], kv[..., nope:]
 
         # Rope on the positional parts (shared single-head k_pe).
         q_pe = apply_rope(q_pe, cos, sin, interleaved=True)
-        k_pe = apply_rope(k_pe[:, None, :], cos, sin, interleaved=True)
-        k_pe = jnp.broadcast_to(k_pe, (T, H, r))
+        k_pe = apply_rope(k_pe[:, None, :], cos, sin, interleaved=True)[:, 0]
 
-        k = jnp.concatenate([k_nope, k_pe], axis=-1)  # [T, H, qk]
-        # Pad q/k/v to the shared cache head dim.
-        q_pad = jnp.pad(jnp.concatenate([q_nope, q_pe], axis=-1),
-                        ((0, 0), (0, 0), (0, Dc - qk)))
-        k_pad = jnp.pad(k, ((0, 0), (0, 0), (0, Dc - qk)))
-        v_pad = jnp.pad(v, ((0, 0), (0, 0), (0, Dc - vd)))
+        # kv_b split into the absorb matrices: [R, H, nope] and [R, H, vd].
+        w_kv = lp["kv_b"].reshape(R, H, nope + vd)
+        w_uk, w_uv = w_kv[..., :nope], w_kv[..., nope:]
+        q_abs = jnp.einsum(
+            "thn,rhn->thr", q_nope, w_uk, preferred_element_type=jnp.float32
+        ).astype(h.dtype)
+
+        # One shared latent kv head: K = [c_kv | k_pe], V = [c_kv | 0].
+        k_lat = jnp.concatenate([c_kv, k_pe], axis=-1)[:, None, :]  # [T,1,R+r]
+        k_lat = jnp.pad(k_lat, ((0, 0), (0, 0), (0, Dc - R - r)))
+        v_lat = jnp.pad(c_kv[:, None, :], ((0, 0), (0, 0), (0, Dc - R)))
+        q_cat = jnp.concatenate([q_abs, q_pe], axis=-1)  # [T, H, R+r]
+        q_cat = jnp.pad(q_cat, ((0, 0), (0, 0), (0, Dc - R - r)))
 
         kv_scale = a.kv_scale if self.kv_quant else None
-        kvc = set_kv_cache(kvc, k_pad, v_pad, mi.new_kv_slot_ids,
+        kvc = set_kv_cache(kvc, k_lat, v_lat, mi.new_kv_slot_ids,
                            k_scale=kv_scale, v_scale=kv_scale)
-        o = self.attn_impl(
-            q_pad,
+        o_lat = self.attn_impl(
+            q_cat,
             kvc,
             mi.kv_lens,
             mi.block_tables,
@@ -288,9 +312,14 @@ class MLADecoderModel:
             sm_scale=self.sm_scale,
             k_scale=kv_scale,
             v_scale=kv_scale,
-        )[..., :vd]
+        )[..., :R]  # [T, H, R]
+        o = jnp.einsum(
+            "thr,rhv->thv", o_lat.astype(h.dtype), w_uv,
+            preferred_element_type=jnp.float32,
+        )
         o = jnp.dot(
-            o.reshape(T, H * vd), lp["o_proj"], preferred_element_type=jnp.float32
+            o.astype(h.dtype).reshape(T, H * vd), lp["o_proj"],
+            preferred_element_type=jnp.float32,
         )
         return h + o.astype(h.dtype), kvc
 

@@ -145,3 +145,69 @@ def test_family_logits_match_hf(tmp_path, family):
     model_dir, ref = make_checkpoint(tmp_path, family)
     ours = run_ours(model_dir)
     np.testing.assert_allclose(ours, ref[-1], rtol=5e-4, atol=5e-4)
+
+
+def test_deepseek_latent_cache_decode_matches_hf(tmp_path):
+    """Multi-step DECODE through the MLA latent KV cache: each step re-reads
+    previously-cached [c_kv | k_pe] latents via the absorbed formulation and
+    must reproduce HF's full-sequence logits at that position."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import torch
+    import transformers
+
+    from scalellm_tpu.engine.params import ModelInputs
+    from scalellm_tpu.model_loader import HFModelLoader
+    from scalellm_tpu.models.registry import ModelRegistry
+    from scalellm_tpu.parallel.config import ParallelConfig
+
+    model_dir, _ = make_checkpoint(tmp_path, "deepseek_v2")
+    n_prefill, n_decode = len(PROMPT), 3
+    full = PROMPT + [11, 29, 67]
+
+    cfg = transformers.AutoConfig.from_pretrained(model_dir)
+    hf = transformers.AutoModelForCausalLM.from_pretrained(model_dir).eval()
+    with torch.no_grad():
+        ref = hf(torch.tensor([full])).logits[0].float().numpy()
+
+    loader = HFModelLoader(model_dir)
+    loader.model_args.dtype = "float32"
+    factory = ModelRegistry.get_causal_lm_factory(loader.model_type)
+    model = factory(loader.model_args, ParallelConfig())
+    params = loader.load_params(model)
+
+    page_size = 4
+    n_pages = (len(full) + page_size - 1) // page_size + 1
+    kv = jnp.zeros(model.kv_cache_shape(n_pages + 1, page_size), jnp.float32)
+    # latent cache: 2 combined heads (K/V), not 2*H
+    assert kv.shape[3] == 2
+
+    def mi_for(tokens, start):
+        t = len(tokens)
+        return ModelInputs(
+            token_ids=jnp.asarray(tokens, jnp.int32),
+            positions=jnp.arange(start, start + t, dtype=jnp.int32),
+            token_seg=jnp.zeros(t, jnp.int32),
+            new_kv_slot_ids=jnp.arange(start, start + t, dtype=jnp.int32)
+            + page_size,
+            block_tables=jnp.asarray([[i + 1 for i in range(n_pages)]], jnp.int32),
+            kv_lens=jnp.asarray([start + t], jnp.int32),
+            cu_q_lens=jnp.asarray([0, t], jnp.int32),
+            num_seqs=jnp.asarray([1], jnp.int32),
+            selected_idxes=jnp.asarray([t - 1], jnp.int32),
+            seq_mask=jnp.ones(1, jnp.float32),
+        )
+
+    hidden, kv = model.forward(params, kv, mi_for(full[:n_prefill], 0))
+    np.testing.assert_allclose(
+        np.asarray(model.logits(params, hidden))[0], ref[n_prefill - 1],
+        rtol=5e-4, atol=5e-4,
+    )
+    for i in range(n_decode):
+        pos = n_prefill + i
+        hidden, kv = model.forward(params, kv, mi_for([full[pos]], pos))
+        np.testing.assert_allclose(
+            np.asarray(model.logits(params, hidden))[0], ref[pos],
+            rtol=5e-4, atol=5e-4,
+        )
