@@ -314,6 +314,40 @@ def main():
                 ),
                 file=sys.stderr,
             )
+    if on_tpu and os.environ.get("BENCH_SERVE", "1") != "0":
+        # ShareGPT-style mixed prefill/decode serving (BASELINE config 3):
+        # steady-state continuous batching with prefix-cache reuse, in a
+        # subprocess (own engine + TPU client).
+        import subprocess
+
+        try:
+            out = subprocess.run(
+                [
+                    sys.executable, "benchmarks/serve_bench.py",
+                    "--preset", "tinyllama-1.1b", "--num-requests", "48",
+                    "--mean-prompt", "128", "--mean-output", "64",
+                    "--json-only",
+                ],
+                capture_output=True, text=True, timeout=2400,
+                cwd=__import__("os").path.dirname(__import__("os").path.abspath(__file__)),
+            )
+            r = json.loads(out.stdout.strip().splitlines()[-1])
+            print(
+                json.dumps(
+                    {
+                        "metric": "serve_mixed_output_tokens_per_s_tinyllama-1.1b",
+                        "value": r["output_tokens_per_s"],
+                        "unit": "tokens/s",
+                        "p50_ttft_s": r["p50_ttft_s"],
+                        "p95_ttft_s": r["p95_ttft_s"],
+                        "p50_itl_s": r["p50_itl_s"],
+                        "mid_serve_compiles": r["mid_serve_compiles"],
+                    }
+                ),
+                file=sys.stderr,
+            )
+        except Exception as e:  # serving bench is auxiliary — never fail the run
+            print(json.dumps({"metric": "serve_mixed", "error": str(e)}), file=sys.stderr)
     print(json.dumps(headline))
 
 

@@ -32,7 +32,11 @@ from scalellm_tpu.request.sequence import Sequence
 # token counts since prefill and decode share one program here.
 TOKEN_BUCKETS = [16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384]
 SEQ_BUCKETS = [1, 2, 4, 8, 16, 32, 64, 128, 256]
-PAGE_BUCKETS = [4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048]
+# Pages ladder is deliberately COARSE (4x steps): each distinct
+# (T, S, MAXP) is one XLA compile, and MAXP only sizes the block-table
+# index array (the kernel reads pages up to kv_len, not MAXP), so padding
+# generously costs bytes, not FLOPs — fewer buckets beats tighter padding.
+PAGE_BUCKETS = [4, 16, 64, 256, 1024, 4096, 16384]
 
 
 def pick_bucket(ladder: Seq[int], n: int) -> int:

@@ -59,14 +59,38 @@ class Executor:
                 return x.astype(dtype)
             return x.astype(dtype) if x.dtype != dtype else x
 
+        # Multi-host pod: the mesh spans processes, so arrays must be built
+        # as GLOBAL jax.Arrays (each process contributes its addressable
+        # shards via callback) instead of single-process device_puts.
+        self._multiprocess = mesh is not None and jax.process_count() > 1
+
+        def put_global(x, spec):
+            import ml_dtypes
+
+            arr = np.asarray(x)
+            if not np.issubdtype(arr.dtype, np.integer):
+                # same float policy as to_dtype: activations dtype
+                arr = arr.astype(
+                    ml_dtypes.bfloat16 if dtype == jnp.bfloat16 else np.float32
+                )
+            s = NamedSharding(mesh, spec)
+            return jax.make_array_from_callback(
+                arr.shape, s, lambda idx, a=arr: a[idx]
+            )
+
         if mesh is not None:
             specs = model.param_partition_specs()
-            self.params = jax.tree_util.tree_map_with_path(
-                lambda path, x: jax.device_put(
-                    to_dtype(x), NamedSharding(mesh, _spec_at(specs, path))
-                ),
-                params,
-            )
+            if self._multiprocess:
+                self.params = jax.tree_util.tree_map_with_path(
+                    lambda path, x: put_global(x, _spec_at(specs, path)), params
+                )
+            else:
+                self.params = jax.tree_util.tree_map_with_path(
+                    lambda path, x: jax.device_put(
+                        to_dtype(x), NamedSharding(mesh, _spec_at(specs, path))
+                    ),
+                    params,
+                )
         else:
             self.params = jax.tree_util.tree_map(
                 lambda x: jax.device_put(to_dtype(x)), params
@@ -75,6 +99,11 @@ class Executor:
         self._kv_dtype = (
             jnp.int8 if getattr(model, "kv_quant", False) else dtype
         )
+        # Compile-cache telemetry: any jit cache growth outside warmup is a
+        # cold mid-serve compile (seconds of added latency) — counted so the
+        # serving bench can assert zero.
+        self._last_cache_size: Optional[int] = None
+        self._in_warmup = False
 
     # ---------------------------------------------------------------- kv init
 
@@ -82,7 +111,24 @@ class Executor:
         """Allocate the paged KV cache arrays
         (reference: llm_engine.cpp:309 init_kv_cache)."""
         shape = self.model.kv_cache_shape(num_blocks, block_size)
-        if self.mesh is not None:
+        if self._multiprocess:
+            import ml_dtypes
+
+            sharding = NamedSharding(self.mesh, self.model.kv_cache_partition_spec())
+            np_dtype = (
+                ml_dtypes.bfloat16
+                if self._kv_dtype == jnp.bfloat16
+                else np.dtype(jnp.dtype(self._kv_dtype).name)
+            )
+
+            def zeros_shard(idx):
+                sh = tuple(
+                    len(range(*s.indices(dim))) for s, dim in zip(idx, shape)
+                )
+                return np.zeros(sh, np_dtype)
+
+            self.kv_cache = jax.make_array_from_callback(shape, sharding, zeros_shard)
+        elif self.mesh is not None:
             sharding = NamedSharding(self.mesh, self.model.kv_cache_partition_spec())
             self.kv_cache = jax.device_put(
                 jnp.zeros(shape, dtype=self._kv_dtype), sharding
@@ -172,39 +218,133 @@ class Executor:
     ) -> ModelOutputs:
         """Run one step; KV caches are updated in place (donated)."""
         assert self.kv_cache is not None, "init_kv_cache first"
-        mi = jax.tree_util.tree_map(jnp.asarray, mi)
-        si = jax.tree_util.tree_map(jnp.asarray, si)
+        if self._multiprocess:
+            # Step inputs are identical on every host (host-0 broadcast);
+            # assemble them as replicated GLOBAL arrays for the pod jit.
+            rep = NamedSharding(self.mesh, P())
+
+            def to_global(x):
+                a = np.asarray(x)
+                return jax.make_array_from_callback(
+                    a.shape, rep, lambda idx, a=a: a[idx]
+                )
+
+            mi = jax.tree_util.tree_map(to_global, mi)
+            si = jax.tree_util.tree_map(to_global, si)
+        else:
+            mi = jax.tree_util.tree_map(jnp.asarray, mi)
+            si = jax.tree_util.tree_map(jnp.asarray, si)
         outs, self.kv_cache = self._step_fn(self.params, self.kv_cache, mi, si)
+        size = self._jit_cache_size()
+        if size is not None:
+            if (
+                self._last_cache_size is not None
+                and size > self._last_cache_size
+                and not self._in_warmup
+            ):
+                from scalellm_tpu.utils.metrics import COUNTERS
+
+                COUNTERS.inc("num_mid_serve_compiles", size - self._last_cache_size)
+                logger.info(
+                    "mid-serve compile: bucket T=%d S=%d MAXP=%d",
+                    mi.token_ids.shape[0],
+                    mi.kv_lens.shape[0],
+                    mi.block_tables.shape[1],
+                )
+            self._last_cache_size = size
         return outs
 
-    def warmup(self, block_size: int, buckets=((16, 1), (16, 8))) -> None:
-        """Pre-compile common (T, S) buckets — the analog of CUDA-graph
-        capture at init (reference: llm_engine.cpp:214 capture_cuda_graphs)."""
-        for T, S in buckets:
-            mi = ModelInputs(
-                token_ids=np.zeros(T, np.int32),
-                positions=np.zeros(T, np.int32),
-                token_seg=np.zeros(T, np.int32),
-                new_kv_slot_ids=np.zeros(T, np.int32),
-                block_tables=np.zeros((S, 4), np.int32),
-                kv_lens=np.zeros(S, np.int32),
-                cu_q_lens=np.zeros(S + 1, np.int32),
-                num_seqs=np.zeros(1, np.int32),
-                selected_idxes=np.zeros(S, np.int32),
-                seq_mask=np.zeros(S, np.float32),
+    def _jit_cache_size(self) -> Optional[int]:
+        fn = self._step_fn
+        try:
+            return fn._cache_size()
+        except Exception:
+            return None
+
+    def warmup(
+        self,
+        block_size: int,
+        mode: str = "fast",
+        max_tokens: int = 512,
+        max_seqs: int = 128,
+        max_context_len: int = 4096,
+    ) -> None:
+        """Pre-compile serving buckets — the analog of CUDA-graph capture at
+        init (reference: llm_engine.cpp:214 capture_cuda_graphs, 9 buckets).
+
+        mode "fast": the two cheapest buckets (tests / interactive startup).
+        mode "full": every (T, S, MAXP) bucket reachable under the serving
+        envelope — the decode ladder (T tracks S) plus chunked-prefill
+        buckets at the token budget, across the page-bucket growth path.
+        With the persistent XLA compile cache this cost is paid once ever;
+        afterwards serving hits zero cold compiles (counter
+        num_mid_serve_compiles stays 0).
+        """
+        from scalellm_tpu.engine.batch import (
+            PAGE_BUCKETS,
+            SEQ_BUCKETS,
+            TOKEN_BUCKETS,
+            pick_bucket,
+        )
+
+        if mode == "off":
+            return
+        if mode == "fast":
+            buckets = [(16, 1, PAGE_BUCKETS[0]), (16, 8, PAGE_BUCKETS[0])]
+        else:
+            pages_env = pick_bucket(
+                PAGE_BUCKETS, max(max_context_len // block_size, 1)
             )
-            si = SamplingInputs(
-                temperatures=np.zeros(S, np.float32),
-                top_ks=np.zeros(S, np.int32),
-                top_ps=np.ones(S, np.float32),
-                frequency_penalties=np.zeros(S, np.float32),
-                presence_penalties=np.zeros(S, np.float32),
-                repetition_penalties=np.ones(S, np.float32),
-                unique_token_ids=np.zeros((S, 1), np.int32),
-                unique_token_counts=np.zeros((S, 1), np.int32),
-                seeds=np.zeros(S, np.uint32),
-            )
-            self.execute(mi, si)
+            maxps = [b for b in PAGE_BUCKETS if b <= pages_env]
+            s_env = pick_bucket(SEQ_BUCKETS, max(max_seqs, 1))
+            t_pre = pick_bucket(TOKEN_BUCKETS, min(max_tokens, TOKEN_BUCKETS[-1]))
+            bucket_set = set()
+            for S in SEQ_BUCKETS:
+                if S > s_env:
+                    break
+                for mp in maxps:
+                    # decode: one new token per sequence (T tracks S)
+                    bucket_set.add((pick_bucket(TOKEN_BUCKETS, S), S, mp))
+                    # chunked prefill / mixed: full token budget at this S
+                    bucket_set.add((t_pre, S, mp))
+            buckets = sorted(bucket_set)
+
+        import time
+
+        t0 = time.monotonic()
+        self._in_warmup = True
+        try:
+            for T, S, MAXP in buckets:
+                mi = ModelInputs(
+                    token_ids=np.zeros(T, np.int32),
+                    positions=np.zeros(T, np.int32),
+                    token_seg=np.zeros(T, np.int32),
+                    new_kv_slot_ids=np.zeros(T, np.int32),
+                    block_tables=np.zeros((S, MAXP), np.int32),
+                    kv_lens=np.zeros(S, np.int32),
+                    cu_q_lens=np.zeros(S + 1, np.int32),
+                    num_seqs=np.zeros(1, np.int32),
+                    selected_idxes=np.zeros(S, np.int32),
+                    seq_mask=np.zeros(S, np.float32),
+                )
+                si = SamplingInputs(
+                    temperatures=np.zeros(S, np.float32),
+                    top_ks=np.zeros(S, np.int32),
+                    top_ps=np.ones(S, np.float32),
+                    frequency_penalties=np.zeros(S, np.float32),
+                    presence_penalties=np.zeros(S, np.float32),
+                    repetition_penalties=np.ones(S, np.float32),
+                    unique_token_ids=np.zeros((S, 1), np.int32),
+                    unique_token_counts=np.zeros((S, 1), np.int32),
+                    seeds=np.zeros(S, np.uint32),
+                )
+                self.execute(mi, si)
+        finally:
+            self._in_warmup = False
+        logger.info(
+            "warmed %d buckets (%s) in %.1fs",
+            len(buckets), mode, time.monotonic() - t0,
+        )
 
 
 def _spec_at(specs, path):

@@ -41,8 +41,15 @@ class EngineOptions:
     num_blocks: int = 0
     # Tensor-parallel degree (devices per replica).
     tp_size: int = 1
-    # Warm up compile cache at init.
+    # Warm up compile cache at init. warmup_mode "fast" = 2 buckets,
+    # "full" = every bucket reachable under the serving envelope (zero
+    # mid-serve compiles; pair with the persistent compile cache).
     warmup: bool = True
+    warmup_mode: str = "fast"
+    # Serving envelope used by full warmup (and scheduler mirrors).
+    max_tokens_per_batch: int = 512
+    max_seqs_per_batch: int = 128
+    max_context_len: int = 4096
     max_top_logprobs: int = 20
     # Speculative decoding.
     draft_model_path: Optional[str] = None
@@ -174,7 +181,14 @@ class LLMEngine:
         )
 
         if options.warmup:
-            self.executor.warmup(options.block_size)
+            self.executor.warmup(
+                options.block_size,
+                mode=options.warmup_mode,
+                max_tokens=options.max_tokens_per_batch,
+                max_seqs=options.max_seqs_per_batch,
+                max_context_len=options.max_context_len
+                or self.model_args.max_position_embeddings,
+            )
 
         self._step_counter = 0
 

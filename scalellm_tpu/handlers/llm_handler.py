@@ -59,6 +59,10 @@ class LLMHandlerOptions:
     num_blocks: int = 0  # direct override (tests)
     max_context_len: int = 0  # 0 = model's max_position_embeddings
     kv_cache_dtype: str = "auto"  # "auto" | "int8"
+    warmup_mode: str = "fast"  # "off" | "fast" | "full" (zero cold compiles)
+    # Multi-host pod serving: use DistributedLLMEngine (host-0 driver
+    # broadcasts step inputs; see engine/distributed.py).
+    distributed: bool = False
     quantize_lm_head: "bool | str" = False  # False | True=int8 | "int4"
     quantize: str = ""  # runtime quant of dense checkpoints: "" | "int4" | "int8"
 
@@ -75,6 +79,10 @@ class LLMHandler:
             num_blocks=options.num_blocks,
             tp_size=options.tp_size,
             warmup=options.enable_cuda_graph,
+            warmup_mode=options.warmup_mode,
+            max_tokens_per_batch=options.max_tokens_per_batch,
+            max_seqs_per_batch=options.max_seqs_per_batch,
+            max_context_len=options.max_context_len,
             draft_model_path=options.draft_model_path,
             num_speculative_tokens=options.num_speculative_tokens,
             kv_cache_dtype=options.kv_cache_dtype,
@@ -85,6 +93,10 @@ class LLMHandler:
             from scalellm_tpu.speculative.speculative_engine import SpeculativeEngine
 
             self.engine = SpeculativeEngine(engine_opts, mesh=mesh)
+        elif options.distributed:
+            from scalellm_tpu.engine.distributed import DistributedLLMEngine
+
+            self.engine = DistributedLLMEngine(engine_opts, mesh=mesh)
         else:
             self.engine = LLMEngine(engine_opts, mesh=mesh)
         self.tokenizer = self.engine.tokenizer

@@ -112,6 +112,10 @@ class AsyncLLMEngine:
         draft_model: Optional[str] = None,
         tp_size: int = 1,
         num_blocks: int = 0,
+        kv_cache_dtype: str = "auto",
+        quantize: str = "",
+        warmup_mode: str = "fast",
+        distributed: bool = False,
         mesh=None,
     ) -> None:
         options = LLMHandlerOptions(
@@ -128,6 +132,10 @@ class AsyncLLMEngine:
             num_handling_threads=num_handling_threads,
             tp_size=tp_size,
             num_blocks=num_blocks,
+            kv_cache_dtype=kv_cache_dtype,
+            quantize=quantize,
+            warmup_mode=warmup_mode,
+            distributed=distributed,
         )
         self._handler = LLMHandler(options, mesh=mesh)
 

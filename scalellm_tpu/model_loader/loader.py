@@ -88,6 +88,12 @@ class HFModelLoader:
         """Load weights into the model's stacked param layout (numpy pytree;
         device placement is the executor's job)."""
         args = self.model_args
+        # Synthetic weights for serving benchmarks (SCALELLM_FAKE_LOAD=zero):
+        # skip file reads and return zero params in the exact runtime layout.
+        # Step timing is identical (quantized or dense) — only the values
+        # are meaningless — so benches avoid pushing GBs through the loader.
+        if os.environ.get("SCALELLM_FAKE_LOAD") == "zero":
+            return self._zero_params(model)
         rules: List[Tuple] = list(model.hf_weight_rules)
         if self.quant_args.enabled:
             from scalellm_tpu.quantization.linear import build_quant_rules
@@ -124,6 +130,8 @@ class HFModelLoader:
                 return np.int8
             if leaf == "scales":
                 return np.float32
+            if leaf in ("g_idx", "perm"):
+                return np.int32
             return np_dtype
 
         def ensure_buf(path: str, n_idx: int):
@@ -240,6 +248,45 @@ class HFModelLoader:
             for part in parts[:-1]:
                 node = node.setdefault(part, {})
             node[parts[-1]] = arr
+        if hasattr(model, "fuse_params"):
+            params = model.fuse_params(params)
+        return params
+
+    def _zero_params(self, model) -> Dict[str, Any]:
+        """Zero params matching load_param_shapes, run through fuse_params —
+        the synthetic-weights path for serving benchmarks."""
+        import ml_dtypes
+
+        args = self.model_args
+        np_dtype = {
+            "bfloat16": ml_dtypes.bfloat16,
+            "float16": np.float16,
+            "float32": np.float32,
+        }[args.dtype]
+
+        def zero(name, shape):
+            if name in ("qweight", "zeros"):
+                return np.zeros(shape, np.int8)
+            if name == "scales":
+                return np.zeros(shape, np.float32)
+            if name in ("g_idx", "perm"):
+                return np.zeros(shape, np.int32)
+            if name == "kv_scales":
+                return np.full(shape, args.kv_scale, np.float32)
+            return np.zeros(shape, np_dtype)
+
+        def build(node):
+            return {
+                k: build(v) if isinstance(v, dict) else zero(k, v)
+                for k, v in node.items()
+            }
+
+        shapes = (
+            model.load_param_shapes()
+            if hasattr(model, "load_param_shapes")
+            else model.param_shapes()
+        )
+        params = build(shapes)
         if hasattr(model, "fuse_params"):
             params = model.fuse_params(params)
         return params

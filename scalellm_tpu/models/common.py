@@ -83,6 +83,15 @@ class DecoderModel:
         self.quant = args.quant_args if (args.quant_args and args.quant_args.enabled) else None
         if self.quant:
             assert self.quant.bits in (4, 8), self.quant.bits
+        # GPTQ desc_act (activation-order groups): rows are re-sorted into
+        # contiguous groups at load and the input is gathered by the row
+        # permutation at runtime. Projections can't be fused then (each
+        # sub-projection has its own row order — same constraint as the
+        # reference, quant_args.h:31 can_be_fused), and the input gather
+        # is incompatible with row-parallel TP sharding.
+        self.desc_act = bool(self.quant and self.quant.desc_act)
+        if self.desc_act:
+            assert tp == 1, "GPTQ desc_act requires tp_size == 1"
         # MoE expert parallelism: shard the EXPERT dim over the tp axis when
         # it divides evenly (each shard computes only its experts — see
         # layers/moe.py); falls back to sharding the expert FFN dim.
@@ -106,11 +115,14 @@ class DecoderModel:
                 return (L, k_dim, n_dim)
             g = self.quant.group_size if self.quant.group_size > 0 else k_dim
             pack = 2 if self.quant.bits == 4 else 1
-            return {
+            triple = {
                 "qweight": (L, k_dim // pack, n_dim),
                 "scales": (L, k_dim // g, n_dim),
                 "zeros": (L, k_dim // g, n_dim),
             }
+            if self.desc_act:
+                triple["g_idx"] = (L, k_dim)
+            return triple
 
         layers: Dict[str, Any] = {
             "input_norm": (L, D),
@@ -222,7 +234,11 @@ class DecoderModel:
         n_tiles_local = -(-n_local // W)  # ceil
         n_n = n_tiles_local * tp
         out = {}
-        for key, (l, r, _) in triple.items():
+        for key, shape in triple.items():
+            if len(shape) != 3:  # e.g. desc_act "perm" (L, K): not tiled
+                out[key] = shape
+                continue
+            l, r, _ = shape
             out[key] = (l, n_n, r, W)
         return out
 
@@ -253,20 +269,30 @@ class DecoderModel:
                 }
             return (L, first[1], n_total)
 
-        layers["qkv_proj"] = fuse_proj(["q_proj", "k_proj", "v_proj"], fused_n)
-        if a.qkv_bias:
-            for pth in ("q_bias", "k_bias", "v_bias"):
-                del layers[pth]
-            layers["qkv_bias"] = (L, fused_n)
-        if a.mlp_gated and "gate_proj" in layers:
-            F = layers["up_proj"][2] if not isinstance(layers["up_proj"], dict) else layers["up_proj"]["qweight"][2]
-            layers["gate_up_proj"] = fuse_proj(["gate_proj", "up_proj"], 2 * F)
-            if a.mlp_bias:
-                del layers["gate_bias"], layers["up_bias"]
-                layers["gate_up_bias"] = (L, 2 * F)
+        if self.desc_act:
+            # No fusion (per-projection row orders differ); g_idx becomes
+            # the runtime input-gather permutation.
+            for node in layers.values():
+                if isinstance(node, dict) and "g_idx" in node:
+                    node["perm"] = node.pop("g_idx")
+        else:
+            layers["qkv_proj"] = fuse_proj(["q_proj", "k_proj", "v_proj"], fused_n)
+            if a.qkv_bias:
+                for pth in ("q_bias", "k_bias", "v_bias"):
+                    del layers[pth]
+                layers["qkv_bias"] = (L, fused_n)
+            if a.mlp_gated and "gate_proj" in layers:
+                F = layers["up_proj"][2] if not isinstance(layers["up_proj"], dict) else layers["up_proj"]["qweight"][2]
+                layers["gate_up_proj"] = fuse_proj(["gate_proj", "up_proj"], 2 * F)
+                if a.mlp_bias:
+                    del layers["gate_bias"], layers["up_bias"]
+                    layers["gate_up_bias"] = (L, 2 * F)
         # Tile every quant triple (fused or not) for contiguous kernel reads.
         if self.quant is not None:
-            col_parallel = {"qkv_proj", "gate_up_proj", "up_proj"}
+            col_parallel = {
+                "qkv_proj", "gate_up_proj", "up_proj",
+                "q_proj", "k_proj", "v_proj", "gate_proj",
+            }
             for name, node in list(layers.items()):
                 if isinstance(node, dict) and "qweight" in node:
                     layers[name] = self._tiled_shape(node, name in col_parallel)
@@ -319,17 +345,44 @@ class DecoderModel:
             else:
                 qw, sc, zp = quantize_int8(lm, 128)
             params["lm_head"] = {"qweight": qw, "scales": sc, "zeros": zp}
-        fuse(["q_proj", "k_proj", "v_proj"], "qkv_proj")
-        if a.qkv_bias:
-            fuse(["q_bias", "k_bias", "v_bias"], "qkv_bias")
-        if a.mlp_gated and "gate_proj" in layers:
-            fuse(["gate_proj", "up_proj"], "gate_up_proj")
-            if a.mlp_bias:
-                fuse(["gate_bias", "up_bias"], "gate_up_bias")
+        if self.desc_act:
+            self._sort_desc_act_rows(layers)
+        else:
+            fuse(["q_proj", "k_proj", "v_proj"], "qkv_proj")
+            if a.qkv_bias:
+                fuse(["q_bias", "k_bias", "v_bias"], "qkv_bias")
+            if a.mlp_gated and "gate_proj" in layers:
+                fuse(["gate_proj", "up_proj"], "gate_up_proj")
+                if a.mlp_bias:
+                    fuse(["gate_bias", "up_bias"], "gate_up_bias")
         # Tile quant triples into the contiguous-read layout (per-shard
         # padding for column-parallel params so tile-dim sharding is clean).
         self.tile_quant_params(params)
         return params
+
+    def _sort_desc_act_rows(self, layers: Dict[str, Any]) -> None:
+        """GPTQ desc_act: per layer, sort weight ROWS into contiguous group
+        order (perm = stable argsort of g_idx) so the grouped kernel's
+        scales line up; keep perm for the runtime input gather
+        (x[:, perm] @ W_sorted == x @ W)."""
+        import numpy as np
+
+        from scalellm_tpu.ops.quant_matmul import pack_int4, unpack_int4
+
+        for name, node in layers.items():
+            if not (isinstance(node, dict) and "g_idx" in node):
+                continue
+            g_idx = np.asarray(node.pop("g_idx"))  # [L, K]
+            L = g_idx.shape[0]
+            perms = np.stack(
+                [np.argsort(g_idx[l], kind="stable") for l in range(L)]
+            ).astype(np.int32)
+            qw = np.asarray(node["qweight"])  # [L, K/2, N] packed
+            sorted_q = np.stack([
+                pack_int4(unpack_int4(qw[l])[perms[l]]) for l in range(L)
+            ])
+            node["qweight"] = sorted_q
+            node["perm"] = perms
 
     def tile_quant_params(self, params: Dict[str, Any]) -> Dict[str, Any]:
         """In-place: convert every flat quant triple (layers + lm_head) in a
@@ -348,7 +401,9 @@ class DecoderModel:
             W = self._tile_n(triple["qweight"].shape[-1] // tp_n)
             out = {}
             for key, arr in triple.items():
-                if tp_n == 1:
+                if key == "perm":  # desc_act input gather: stays [L, K]
+                    out[key] = arr
+                elif tp_n == 1:
                     out[key] = tile_quant_layout(arr, W)
                 else:
                     chunks = np.split(arr, tp_n, axis=-1)
@@ -358,6 +413,9 @@ class DecoderModel:
                     )
             return out
 
+        col_parallel |= {
+            "q_proj", "k_proj", "v_proj", "gate_proj", "up_proj"
+        }
         layers = params["layers"]
         for name, node in list(layers.items()):
             if isinstance(node, dict) and "qweight" in node:
@@ -384,19 +442,33 @@ class DecoderModel:
             if self.quant is None:
                 return P(None, tp, None) if row_parallel else P(None, None, tp)
             spec = P(None, None, tp, None) if row_parallel else P(None, tp, None, None)
-            return {"qweight": spec, "scales": spec, "zeros": spec}
+            d = {"qweight": spec, "scales": spec, "zeros": spec}
+            if self.desc_act:
+                d["perm"] = P(None, None)
+            return d
 
         layers: Dict[str, Any] = {
             "input_norm": P(None, None),
-            "qkv_proj": proj_spec(False),  # column-parallel (shard-interleaved)
             "o_proj": proj_spec(True),  # row-parallel
         }
+        if self.desc_act:  # unfused (tp == 1, everything replicated)
+            for n in ("q_proj", "k_proj", "v_proj"):
+                layers[n] = proj_spec(False)
+        else:
+            layers["qkv_proj"] = proj_spec(False)  # column-parallel
         def mlp_specs():
             layers["down_proj"] = proj_spec(True)
             if a.mlp_gated:
-                layers["gate_up_proj"] = proj_spec(False)
-                if a.mlp_bias:
+                if self.desc_act:
+                    layers["gate_proj"] = proj_spec(False)
+                    layers["up_proj"] = proj_spec(False)
+                else:
+                    layers["gate_up_proj"] = proj_spec(False)
+                if a.mlp_bias and not self.desc_act:
                     layers["gate_up_bias"] = P(None, tp)
+                elif a.mlp_bias:
+                    layers["gate_bias"] = P(None, tp)
+                    layers["up_bias"] = P(None, tp)
             else:
                 layers["up_proj"] = proj_spec(False)
                 if a.mlp_bias:
@@ -427,7 +499,11 @@ class DecoderModel:
             layers["post_attn_norm"] = P(None, None)
             layers["post_ffw_norm"] = P(None, None)
         if a.qkv_bias:
-            layers["qkv_bias"] = P(None, tp)
+            if self.desc_act:
+                for n in ("q_bias", "k_bias", "v_bias"):
+                    layers[n] = P(None, tp)
+            else:
+                layers["qkv_bias"] = P(None, tp)
         if a.o_proj_bias:
             layers["o_bias"] = P(None, None)  # row-parallel bias: replicated
         if a.norm_bias:
@@ -487,6 +563,10 @@ class DecoderModel:
                 return jnp.full(path_shape, scale / 8.0, dtype=jnp.float32)
             if name == "kv_scales":
                 return jnp.full(path_shape, self.args.kv_scale, dtype=jnp.float32)
+            if name == "perm":
+                return jnp.broadcast_to(
+                    jnp.arange(path_shape[-1], dtype=jnp.int32), path_shape
+                )
             return (
                 jax.random.normal(key, path_shape, dtype=jnp.float32) * scale
             ).astype(dtype)
@@ -523,6 +603,10 @@ class DecoderModel:
         if isinstance(w, dict):
             from scalellm_tpu.ops.quant_matmul import quant_matmul
 
+            if "perm" in w:
+                # desc_act: rows were sorted into contiguous groups at load;
+                # gather the input by the same permutation.
+                x = jnp.take(x, w["perm"], axis=1)
             # Symmetric checkpoints (GPTQ sym / internal quantizer) skip the
             # zero-point load + correction entirely in the kernel.
             sym = bool(self.quant.is_sym and not self.quant.zero_point)
@@ -613,7 +697,14 @@ class DecoderModel:
             fused gate_up projection (one launch)."""
             F = a.moe_shared_intermediate if a.n_experts > 0 else a.intermediate_size
             F_local = F // self.parallel.tp_size
-            if a.mlp_gated:
+            if a.mlp_gated and "gate_up_proj" not in lp:  # desc_act unfused
+                g = self._proj(x, lp["gate_proj"])[:, :F_local]
+                u = self._proj(x, lp["up_proj"])[:, :F_local]
+                if a.mlp_bias:
+                    g = g + lp["gate_bias"].astype(jnp.float32)
+                    u = u + lp["up_bias"].astype(jnp.float32)
+                m = act_with_mul(a.hidden_act, g, u).astype(x.dtype)
+            elif a.mlp_gated:
                 gu = self._proj(x, lp["gate_up_proj"])
                 if a.mlp_bias:
                     gu = gu[:, : 2 * F_local] + lp["gate_up_bias"].astype(jnp.float32)
@@ -671,15 +762,24 @@ class DecoderModel:
 
             # ---- attention (fused qkv: one projection launch)
             x = self._norm(h, lp["input_norm"], lp.get("input_norm_bias"))
-            qkv = self._proj(x, lp["qkv_proj"])
-            if a.qkv_bias:
-                qkv = qkv + lp["qkv_bias"].astype(jnp.float32)
             q_n = H_local * Dh
             kv_n = Hkv_local * Dh
-            q = qkv[:, :q_n]
-            k = qkv[:, q_n : q_n + kv_n]
-            # explicit end: tiled quant outputs may carry trailing N padding
-            v = qkv[:, q_n + kv_n : q_n + 2 * kv_n]
+            if "qkv_proj" not in lp:  # desc_act: unfused projections
+                q = self._proj(x, lp["q_proj"])[:, :q_n]
+                k = self._proj(x, lp["k_proj"])[:, :kv_n]
+                v = self._proj(x, lp["v_proj"])[:, :kv_n]
+                if a.qkv_bias:
+                    q = q + lp["q_bias"].astype(jnp.float32)
+                    k = k + lp["k_bias"].astype(jnp.float32)
+                    v = v + lp["v_bias"].astype(jnp.float32)
+            else:
+                qkv = self._proj(x, lp["qkv_proj"])
+                if a.qkv_bias:
+                    qkv = qkv + lp["qkv_bias"].astype(jnp.float32)
+                q = qkv[:, :q_n]
+                k = qkv[:, q_n : q_n + kv_n]
+                # explicit end: tiled quant outputs may carry trailing N padding
+                v = qkv[:, q_n + kv_n : q_n + 2 * kv_n]
             T = q.shape[0]
             q = q.astype(h.dtype).reshape(T, H_local, Dh)
             k = k.astype(h.dtype).reshape(T, Hkv_local, Dh)

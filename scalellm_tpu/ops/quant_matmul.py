@@ -73,6 +73,19 @@ def pack_int4(w_unsigned: np.ndarray) -> np.ndarray:
     return packed.astype(np.uint8).view(np.int8)
 
 
+def unpack_int4(packed: np.ndarray) -> np.ndarray:
+    """Inverse of pack_int4: packed SIGNED int8 [K//2, N] → unsigned nibble
+    values (0..15) [K, N]."""
+    p = packed.view(np.uint8).astype(np.int32)
+    lo = (p & 0xF).astype(np.uint8)
+    hi = ((p >> 4) & 0xF).astype(np.uint8)
+    K2, N = packed.shape
+    out = np.empty((K2 * 2, N), dtype=np.uint8)
+    out[0::2] = lo
+    out[1::2] = hi
+    return ((out.astype(np.int32) + 8) & 0xF).astype(np.uint8)
+
+
 def quantize_int4(
     w: np.ndarray, group_size: int
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -351,6 +364,12 @@ def quant_matmul(
     variant = variant or dv
 
     G = K // scales.shape[-2]
+    if G < 128:
+        # The group variant's [M, n_g, G] reshape/transpose needs the minor
+        # dim to span full 128-lane registers; Mosaic rejects smaller G
+        # ("unsupported shape cast"). The dequant variant only reshapes the
+        # weight tile along sublanes and handles any G.
+        variant = "dequant"
     block_n = min(block_n, N)
     # The scales/zeros blocks are [block_k/G, block_n]; Mosaic requires the
     # sublane dim to be a multiple of 8 (or the full array), so k-tiles are
@@ -372,12 +391,15 @@ def quant_matmul(
     # prefill -> compute-bound; the extra weight re-fetches per M tile are
     # amortized by the MXU work.
     if M > 64:
-        if tiled:
+        if tiled or variant == "dequant":
             variant = "dequant"
             block_k = _shrink_block_k(
                 min(block_k, max(4 * 1024 * 1024 // (block_n * 2), chunk)),
                 K, chunk,
             )
+            if not tiled:
+                block_n = min(block_n, 2048)
+                n_n = pl.cdiv(N, block_n)
         else:
             block_n = min(block_n, 512)
             n_n = pl.cdiv(N, block_n)

@@ -34,9 +34,11 @@ def build_quant_rules(base_rules: List[Tuple], quant: QuantArgs) -> List[Tuple]:
     with format transforms; non-projection rules pass through unchanged."""
     method = quant.quant_method
     bits = quant.bits
+    # "exllama"/"exllamav2" are kernel impl names for the GPTQ serialized
+    # format (reference: qlinear_exllamav2_impl.h consumes gptq tensors).
+    if method in ("exllama", "exllamav2"):
+        method = "gptq"
     assert method in ("awq", "gptq"), f"unsupported quant method {method!r}"
-    if method == "gptq" and quant.desc_act:
-        raise NotImplementedError("GPTQ desc_act=True is not supported yet")
     assert bits == 4, "int4 checkpoints only (int8 via internal quantizer)"
 
     def qweight_transform(t: np.ndarray) -> np.ndarray:
@@ -63,4 +65,11 @@ def build_quant_rules(base_rules: List[Tuple], quant: QuantArgs) -> List[Tuple]:
         out.append((stem + r"\.qweight", path + ".qweight", False, qweight_transform))
         out.append((stem + r"\.qzeros", path + ".zeros", False, zeros_transform))
         out.append((stem + r"\.scales", path + ".scales", False, None))
+        if quant.desc_act:
+            # Activation-order grouping: rows stay in original K order in
+            # the checkpoint; g_idx[k] is row k's group. fuse_params sorts
+            # rows into contiguous groups and keeps the row permutation for
+            # the runtime input gather (reference: qlinear_gptq_impl.h /
+            # exllama q4_matrix row remap).
+            out.append((stem + r"\.g_idx", path + ".g_idx", False, None))
     return out

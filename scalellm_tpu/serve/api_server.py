@@ -170,6 +170,17 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-handling-threads", type=int, default=4)
     p.add_argument("--tp-size", type=int, default=1)
     p.add_argument("--num-blocks", type=int, default=0)
+    p.add_argument("--kv-cache-dtype", type=str, default="auto", choices=["auto", "int8"])
+    p.add_argument("--quantize", type=str, default="", choices=["", "int4", "int8"],
+                   help="runtime weight quantization of dense checkpoints")
+    p.add_argument("--warmup-mode", type=str, default="fast", choices=["off", "fast", "full"],
+                   help="full = pre-compile every reachable bucket (zero mid-serve compiles)")
+    # Multi-host pod serving (single-controller): host 0 runs this server +
+    # scheduler; hosts 1..N run the follower loop in lockstep.
+    p.add_argument("--coordinator", type=str, default=None,
+                   help="jax.distributed coordinator address host:port")
+    p.add_argument("--num-hosts", type=int, default=None)
+    p.add_argument("--host-id", type=int, default=None)
     return p
 
 
@@ -185,6 +196,37 @@ def main(argv: Optional[list] = None):
 
         jax.config.update("jax_platforms", plat)
     args = build_arg_parser().parse_args(argv)
+    distributed = bool(args.coordinator)
+    if distributed:
+        from scalellm_tpu.parallel import multihost
+
+        multihost.init_distributed(args.coordinator, args.num_hosts, args.host_id)
+        import jax
+
+        if jax.process_index() != 0:
+            # Follower host: no HTTP — enter the per-step jits in lockstep
+            # with host 0 until it broadcasts the stop header.
+            from scalellm_tpu.engine.distributed import DistributedLLMEngine
+            from scalellm_tpu.engine.llm_engine import EngineOptions
+
+            eng = DistributedLLMEngine(EngineOptions(
+                model_path=args.model,
+                block_size=args.block_size,
+                max_cache_size=args.max_cache_size,
+                max_memory_utilization=args.max_memory_utilization,
+                enable_prefix_cache=args.enable_prefix_cache,
+                num_blocks=args.num_blocks,
+                tp_size=args.tp_size,
+                warmup=args.enable_cuda_graph,
+                warmup_mode=args.warmup_mode,
+                max_tokens_per_batch=args.max_tokens_per_batch,
+                max_seqs_per_batch=args.max_seqs_per_batch,
+                kv_cache_dtype=args.kv_cache_dtype,
+                quantize=args.quantize,
+            ))
+            logger.info("host %d: entering follower loop", jax.process_index())
+            eng.run_follower()
+            return
     engine = AsyncLLMEngine(
         model=args.model,
         block_size=args.block_size,
@@ -199,6 +241,10 @@ def main(argv: Optional[list] = None):
         num_handling_threads=args.num_handling_threads,
         tp_size=args.tp_size,
         num_blocks=args.num_blocks,
+        kv_cache_dtype=args.kv_cache_dtype,
+        quantize=args.quantize,
+        warmup_mode=args.warmup_mode,
+        distributed=distributed,
     )
     model_name = args.model_id or args.model.rstrip("/").split("/")[-1]
     server = ApiServer(engine, model_name)

@@ -106,9 +106,15 @@ def test_quant_matmul_ref():
 # ------------------------------------------------------------- end-to-end
 
 
-def _quantize_checkpoint(src_dir: str, dst_dir: str, fmt: str, group: int = 32):
+def _quantize_checkpoint(
+    src_dir: str, dst_dir: str, fmt: str, group: int = 32,
+    desc_act: bool = False, seed: int = 7,
+):
     """Build an AWQ/GPTQ checkpoint from a float tiny-llama checkpoint,
-    and a matching dequantized float checkpoint for comparison."""
+    and a matching dequantized float checkpoint for comparison.
+
+    desc_act=True (gptq only) quantizes rows in a random activation order
+    and stores g_idx, like AutoGPTQ's act-order checkpoints."""
     from safetensors import safe_open
     from safetensors.numpy import save_file
 
@@ -117,6 +123,7 @@ def _quantize_checkpoint(src_dir: str, dst_dir: str, fmt: str, group: int = 32):
     os.makedirs(dst_dir, exist_ok=True)
     deq_dir = dst_dir + "_dequant"
     os.makedirs(deq_dir, exist_ok=True)
+    act_rng = np.random.default_rng(seed)
 
     proj_suffixes = tuple(
         f"{p}.weight"
@@ -132,6 +139,12 @@ def _quantize_checkpoint(src_dir: str, dst_dir: str, fmt: str, group: int = 32):
             t = f.get_tensor(name)
             if name.endswith(proj_suffixes):
                 w = t.T.astype(np.float32)  # [in, out]
+                if desc_act:
+                    K = w.shape[0]
+                    act_order = act_rng.permutation(K)
+                    g_idx = np.empty(K, np.int32)
+                    g_idx[act_order] = np.arange(K, dtype=np.int32) // group
+                    w = w[act_order]  # quantize in activation order
                 qw_packed, sc, zp_signed = quantize_int4(w, group)
                 # canonical packs SIGNED nibbles (value-8); recover the
                 # checkpoint's unsigned nibbles and its unsigned zero point
@@ -142,6 +155,19 @@ def _quantize_checkpoint(src_dir: str, dst_dir: str, fmt: str, group: int = 32):
                     np.stack([sx(lo), sx(hi)], axis=1).reshape(w.shape) + 8
                 ).astype(np.uint8)
                 zp = (zp_signed.astype(np.int32) + 8).astype(np.uint8)
+                # dequantized float copy (what the kernel should compute) —
+                # scales go through the checkpoint's f16 rounding
+                z = np.repeat(zp.astype(np.int32), group, axis=0)
+                s = np.repeat(sc.astype(np.float16).astype(np.float32), group, axis=0)
+                wf = (u.astype(np.int32) - z).astype(np.float32) * s
+                if desc_act:
+                    # scatter rows back to original K order; groups stay
+                    # indexed by g_idx
+                    u_orig = np.empty_like(u)
+                    u_orig[act_order] = u
+                    wf_orig = np.empty_like(wf)
+                    wf_orig[act_order] = wf
+                    u, wf = u_orig, wf_orig
                 stem = name[: -len(".weight")]
                 if fmt == "awq":
                     out_q[stem + ".qweight"] = pack_awq(u)
@@ -149,12 +175,9 @@ def _quantize_checkpoint(src_dir: str, dst_dir: str, fmt: str, group: int = 32):
                 else:
                     out_q[stem + ".qweight"] = pack_gptq(u)
                     out_q[stem + ".qzeros"] = pack_zeros_gptq(zp)
+                    if desc_act:
+                        out_q[stem + ".g_idx"] = g_idx
                 out_q[stem + ".scales"] = sc.astype(np.float16)
-                # dequantized float copy (what the kernel should compute) —
-                # scales go through the checkpoint's f16 rounding
-                z = np.repeat(zp.astype(np.int32), group, axis=0)
-                s = np.repeat(sc.astype(np.float16).astype(np.float32), group, axis=0)
-                wf = (u.astype(np.int32) - z).astype(np.float32) * s
                 # ascontiguousarray: safetensors writes the raw buffer and a
                 # transposed view would silently save transposed data
                 out_f[name] = np.ascontiguousarray(wf.T, dtype=np.float32)
@@ -173,7 +196,7 @@ def _quantize_checkpoint(src_dir: str, dst_dir: str, fmt: str, group: int = 32):
         "group_size": group,
         "zero_point": fmt == "awq",
         "sym": True,
-        "desc_act": False,
+        "desc_act": desc_act,
     }
     with open(os.path.join(dst_dir, "config.json"), "w") as f:
         json.dump(qcfg, f)
@@ -199,6 +222,40 @@ def test_quantized_checkpoint_generate(tmp_path, fmt):
     src = str(tmp_path / "src")
     fixtures.make_tiny_llama(src, tokenizer=True)
     qdir, fdir = _quantize_checkpoint(str(tmp_path / fmt), None, fmt) if False else _quantize_checkpoint(src, str(tmp_path / fmt), fmt)
+
+    sp = SamplingParams(max_tokens=8, temperature=0.0, ignore_eos=True)
+    ref_llm = LLM(fdir, block_size=4, num_blocks=128, enable_cuda_graph=False)
+    expected = ref_llm.generate(["hello world"], sp)[0].outputs[0].token_ids
+    del ref_llm
+
+    qllm = LLM(qdir, block_size=4, num_blocks=128, enable_cuda_graph=False)
+    got = qllm.generate(["hello world"], sp)[0].outputs[0].token_ids
+    assert got == expected
+
+
+@pytest.mark.parametrize("fmt", ["gptq", "exllamav2"])
+def test_desc_act_checkpoint_generate(tmp_path, fmt):
+    """GPTQ desc_act=True (activation-order groups): rows are re-sorted
+    into contiguous groups at load with a runtime input gather; generation
+    must match the dequantized float checkpoint exactly. "exllamav2" is the
+    same serialized format under a different quant_method name."""
+    import json as _json
+
+    import tests.fixtures as fixtures
+    from scalellm_tpu import LLM, SamplingParams
+
+    src = str(tmp_path / "src")
+    fixtures.make_tiny_llama(src, tokenizer=True)
+    qdir, fdir = _quantize_checkpoint(
+        src, str(tmp_path / "gptq_da"), "gptq", desc_act=True
+    )
+    if fmt == "exllamav2":
+        cfg_p = os.path.join(qdir, "config.json")
+        with open(cfg_p) as f:
+            cfg = _json.load(f)
+        cfg["quantization_config"]["quant_method"] = "exllamav2"
+        with open(cfg_p, "w") as f:
+            _json.dump(cfg, f)
 
     sp = SamplingParams(max_tokens=8, temperature=0.0, ignore_eos=True)
     ref_llm = LLM(fdir, block_size=4, num_blocks=128, enable_cuda_graph=False)
