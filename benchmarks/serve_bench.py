@@ -38,44 +38,6 @@ def _percentile(h, q: float) -> float:
     return h.buckets[-1]
 
 
-def _make_preset_dir(preset: str) -> str:
-    """Config-only synthetic checkpoint (no weight files): config.json +
-    char tokenizer; weights come from the loader's zero fast path."""
-    import json as _json
-    import tempfile
-
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-    from tests.fixtures import save_char_tokenizer
-
-    d = os.path.join(tempfile.gettempdir(), f"serve_bench_{preset}")
-    os.makedirs(d, exist_ok=True)
-    if preset == "tinyllama-1.1b":
-        cfg = dict(
-            model_type="llama", torch_dtype="bfloat16", vocab_size=32000,
-            hidden_size=2048, intermediate_size=5632, num_hidden_layers=22,
-            num_attention_heads=32, num_key_value_heads=4,
-            max_position_embeddings=2048, rope_theta=10000.0,
-            rms_norm_eps=1e-5, tie_word_embeddings=False,
-        )
-    else:  # llama31-8b-int4
-        cfg = dict(
-            model_type="llama", torch_dtype="bfloat16", vocab_size=128256,
-            hidden_size=4096, intermediate_size=14336, num_hidden_layers=32,
-            num_attention_heads=32, num_key_value_heads=8,
-            max_position_embeddings=4096, rope_theta=500000.0,
-            rms_norm_eps=1e-5, tie_word_embeddings=False,
-            quantization_config=dict(
-                quant_method="gptq", bits=4, group_size=128,
-                sym=True, zero_point=False, desc_act=False,
-            ),
-        )
-    with open(os.path.join(d, "config.json"), "w") as f:
-        _json.dump(cfg, f)
-    if not os.path.exists(os.path.join(d, "tokenizer.json")):
-        save_char_tokenizer(d)
-    return d
-
-
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model", type=str, default=None)
@@ -110,7 +72,9 @@ def main():
         jax.config.update("jax_platforms", plat)
 
     if args.preset:
-        args.model = _make_preset_dir(args.preset)
+        from benchmarks.presets import make_preset_dir
+
+        args.model = make_preset_dir(args.preset)
         os.environ["SCALELLM_FAKE_LOAD"] = "zero"
     elif args.tiny or args.model is None:
         import tempfile

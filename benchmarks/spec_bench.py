@@ -1,0 +1,80 @@
+"""Speculative decoding benchmark (BASELINE config 4: Gemma2-9B INT8
+verify + small draft).
+
+Runs the fused speculative round (speculative/spec_executor.py — k draft
+steps + target verify + rejection sampling in ONE jitted program) against
+plain decode on the same target, via the public LLM API on synthetic
+config-only checkpoints (zero weights, SCALELLM_FAKE_LOAD=zero).
+
+With zero weights every draft token is accepted (draft argmax == target
+argmax), so the speculative number is the FULL-ACCEPTANCE upper bound of
+the machinery; real-model speedup = this bound scaled by the actual
+acceptance rate. Plain decode timing is exact either way.
+
+  python benchmarks/spec_bench.py [--k 4] [--steps 96]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run(model_dir, draft_dir, k, steps, num_blocks=256):
+    from scalellm_tpu import LLM, SamplingParams
+
+    llm = LLM(
+        model_dir,
+        draft_model=draft_dir,
+        num_speculative_tokens=k,
+        block_size=16,
+        num_blocks=num_blocks,
+        enable_cuda_graph=False,
+    ) if draft_dir else LLM(
+        model_dir, block_size=16, num_blocks=num_blocks, enable_cuda_graph=False
+    )
+    sp = SamplingParams(max_tokens=steps, temperature=0.0, ignore_eos=True)
+    prompt = "the quick brown fox jumps over the lazy dog and keeps running"
+    llm.generate([prompt], sp)  # warm / compile
+    t0 = time.monotonic()
+    out = llm.generate([prompt + " again"], sp)[0]
+    dt = time.monotonic() - t0
+    n = out.usage.num_generated_tokens if out.usage else steps
+    del llm
+    return n / dt
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--k", type=int, default=4)
+    p.add_argument("--steps", type=int, default=96)
+    p.add_argument("--target", type=str, default="gemma2-9b-int8")
+    p.add_argument("--draft", type=str, default="gemma2-2b")
+    args = p.parse_args()
+
+    from benchmarks.presets import make_preset_dir
+
+    os.environ["SCALELLM_FAKE_LOAD"] = "zero"
+    tdir = make_preset_dir(args.target)
+    ddir = make_preset_dir(args.draft)
+
+    plain = run(tdir, None, 0, args.steps)
+    spec = run(tdir, ddir, args.k, args.steps)
+    print(json.dumps({
+        "metric": f"spec_decode_tokens_per_s_{args.target}_k{args.k}",
+        "value": round(spec, 1),
+        "unit": "tokens/s",
+        "plain_tokens_per_s": round(plain, 1),
+        "speedup_at_full_acceptance": round(spec / plain, 2),
+        "note": "zero-weight synthetic: speculative number is the "
+                "full-acceptance upper bound; plain decode is exact",
+    }))
+
+
+if __name__ == "__main__":
+    main()

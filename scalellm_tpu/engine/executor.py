@@ -92,9 +92,25 @@ class Executor:
                     params,
                 )
         else:
-            self.params = jax.tree_util.tree_map(
-                lambda x: jax.device_put(to_dtype(x)), params
-            )
+            import os
+
+            if os.environ.get("SCALELLM_FAKE_LOAD") == "zero":
+                # Synthetic-weights benches: allocate zeros ON DEVICE (an
+                # XLA fill) instead of streaming host zeros through the
+                # interconnect — GBs of pointless transfer otherwise.
+                def dev_zeros(x):
+                    x = np.asarray(x)
+                    if np.issubdtype(x.dtype, np.integer):
+                        return jnp.zeros(x.shape, x.dtype)
+                    if x.dtype == np.float32 and dtype == jnp.float32:
+                        return jnp.zeros(x.shape, jnp.float32)
+                    return jnp.zeros(x.shape, dtype)
+
+                self.params = jax.tree_util.tree_map(dev_zeros, params)
+            else:
+                self.params = jax.tree_util.tree_map(
+                    lambda x: jax.device_put(to_dtype(x)), params
+                )
         self.kv_cache = None
         self._kv_dtype = (
             jnp.int8 if getattr(model, "kv_quant", False) else dtype
