@@ -98,24 +98,45 @@ def _dtype_of(args: ModelArgs):
 
 
 class MLADecoderModel:
-    """DeepSeek-V2 causal LM (single-replica; TP for MLA planned)."""
+    """DeepSeek-V2 causal LM.
+
+    Tensor parallelism (head-sharded): q_b/q_proj and kv_b are
+    column-parallel on the head dim, o_proj row-parallel (psum after); the
+    small latent path (kv_a, kv_a_norm, q_a) is replicated — every shard
+    computes the same [c_kv | k_pe] and the latent KV cache itself is
+    replicated (it is tiny by construction, that being MLA's point). Each
+    shard then runs absorbed-MQA attention for its local heads over the full
+    shared latent. Experts shard over the same axis (expert-parallel when
+    n_experts divides, else FFN-dim); shared experts and dense FFNs are
+    Megatron column/row-parallel.
+    """
 
     def __init__(self, args: ModelArgs, parallel: ParallelConfig = ParallelConfig(), attn_impl=None):
-        assert parallel.tp_size == 1, "deepseek MLA tensor parallelism TBD"
         self.args = args
         self.parallel = parallel
         self.attn_impl = attn_impl or ragged_paged_attention
         a = args
+        tp = parallel.tp_size
+        assert a.n_heads % tp == 0, "n_heads must divide tp_size"
         self.qk_head_dim = a.qk_nope_head_dim + a.qk_rope_head_dim
         # Latent cache: one shared kv "head" holding [c_kv | k_pe],
         # lane-padded for the attention kernel (576 → 640 on TPU).
         self.latent_dim = a.kv_lora_rank + a.qk_rope_head_dim
         self.kv_head_dim = kernel_head_dim(self.latent_dim)
-        self.n_local_heads = a.n_heads
+        self.n_local_heads = a.n_heads // tp
         self.n_local_kv_heads = 1  # MLA absorbed = MQA over the latent
         self.kv_replication = 1
         self.quant = None  # quantized deepseek checkpoints TBD
         self.kv_quant = a.kv_cache_dtype == "int8"
+        self.moe_expert_sharded = (
+            a.n_experts > 0 and tp > 1 and a.n_experts % tp == 0
+        )
+        if tp > 1:
+            assert a.intermediate_size % tp == 0
+            if a.n_experts and not self.moe_expert_sharded:
+                assert a.moe_intermediate_size % tp == 0
+            if a.n_shared_experts:
+                assert (a.moe_intermediate_size * a.n_shared_experts) % tp == 0
         self.n_dense = a.first_k_dense_replace
         self.n_moe = a.n_layers - self.n_dense
         # Yarn rope scaling (DeepSeek-V2/V2-Lite long-context checkpoints):
@@ -178,14 +199,59 @@ class MLADecoderModel:
 
     load_param_shapes = param_shapes  # no fusion (yet)
 
-    def param_partition_specs(self) -> Dict[str, Any]:
-        # Single-replica for now: everything replicated.
-        def rep(node):
-            if isinstance(node, dict):
-                return {k: rep(v) for k, v in node.items()}
-            return P(*([None] * len(node)))
+    def _attn_specs(self, tp) -> Dict[str, Any]:
+        """Head-sharded MLA specs (see class docstring). The head dim is
+        MAJOR in every H*{qk,nope+vd,vd} flattened axis, so sharding that
+        axis into tp chunks yields head-contiguous slices."""
+        a = self.args
+        specs: Dict[str, Any] = {
+            "input_norm": P(None, None),
+            "post_norm": P(None, None),
+            "kv_a": P(None, None, None),  # replicated latent path
+            "kv_a_norm": P(None, None),
+            "kv_b": P(None, None, tp),  # column-parallel (heads)
+            "o_proj": P(None, tp, None),  # row-parallel (heads), psum after
+        }
+        if a.q_lora_rank:
+            specs["q_a"] = P(None, None, None)
+            specs["q_a_norm"] = P(None, None)
+            specs["q_b"] = P(None, None, tp)
+        else:
+            specs["q_proj"] = P(None, None, tp)
+        return specs
 
-        return rep(self.param_shapes())
+    def param_partition_specs(self) -> Dict[str, Any]:
+        a = self.args
+        tp = self.parallel.tp_axis
+        specs: Dict[str, Any] = {
+            "embed_tokens": P(None, None),
+            "final_norm": P(None),
+        }
+        if self.n_dense:
+            dense = self._attn_specs(tp)
+            dense["gate_proj"] = P(None, None, tp)
+            dense["up_proj"] = P(None, None, tp)
+            dense["down_proj"] = P(None, tp, None)
+            specs["dense_layers"] = dense
+        if self.n_moe:
+            moe = self._attn_specs(tp)
+            moe["router"] = P(None, None, None)
+            if self.moe_expert_sharded:
+                moe["moe_gate"] = P(None, tp, None, None)
+                moe["moe_up"] = P(None, tp, None, None)
+                moe["moe_down"] = P(None, tp, None, None)
+            else:
+                moe["moe_gate"] = P(None, None, None, tp)
+                moe["moe_up"] = P(None, None, None, tp)
+                moe["moe_down"] = P(None, None, tp, None)
+            if a.n_shared_experts:
+                moe["shared_gate_proj"] = P(None, None, tp)
+                moe["shared_up_proj"] = P(None, None, tp)
+                moe["shared_down_proj"] = P(None, tp, None)
+            specs["moe_layers"] = moe
+        if not a.tie_word_embeddings:
+            specs["lm_head"] = P(None, tp)  # vocab-sharded, all-gathered
+        return specs
 
     def kv_cache_shape(self, num_pages: int, page_size: int) -> Tuple[int, ...]:
         # 2 combined heads (K=[c_kv|k_pe] even, V=[c_kv] odd) of latent dim.
@@ -260,7 +326,7 @@ class MLADecoderModel:
         q_nope·k_nope = (q_nope W_UK)·c_kv and attn·v = (attn·c_kv) W_UV.
         """
         a = self.args
-        H = a.n_heads
+        H = self.n_local_heads
         nope, r, vd = a.qk_nope_head_dim, a.qk_rope_head_dim, a.v_head_dim
         qk = self.qk_head_dim
         R = a.kv_lora_rank
@@ -321,6 +387,8 @@ class MLADecoderModel:
             o.astype(h.dtype).reshape(T, H * vd), lp["o_proj"],
             preferred_element_type=jnp.float32,
         )
+        if self.parallel.tp_axis is not None:
+            o = lax.psum(o, self.parallel.tp_axis)
         return h + o.astype(h.dtype), kvc
 
     def _router(self, x, router_w):
@@ -354,22 +422,32 @@ class MLADecoderModel:
         topk_w, topk_e = self._router(x, lp["router"])
         T = x.shape[0]
         k = a.n_experts_per_token
-        E = a.n_experts
+        E_local = lp["moe_gate"].shape[0]
         flat_e = topk_e.reshape(-1)
         flat_w = topk_w.reshape(-1)
         from scalellm_tpu.layers.moe import _grouped_matmul, _on_tpu
 
+        if self.moe_expert_sharded and self.parallel.tp_axis is not None:
+            # Expert parallelism (see layers/moe.py moe_mlp): keep only this
+            # shard's experts; remote-expert slots route to the overflow
+            # group with zero weight.
+            shard = jax.lax.axis_index(self.parallel.tp_axis)
+            lo = shard * E_local
+            local = flat_e - lo
+            in_range = (local >= 0) & (local < E_local)
+            flat_e = jnp.where(in_range, local, E_local)
+            flat_w = jnp.where(in_range, flat_w, 0.0)
         # Row-tile padding for megablox (see layers/moe.py): padding routes
-        # to the overflow group E and stays uncovered.
+        # to the overflow group E_local and stays uncovered.
         total = flat_e.shape[0]
         if _on_tpu() and total % 128 != 0:
             pad = 128 - total % 128
-            flat_e = jnp.concatenate([flat_e, jnp.full((pad,), E, flat_e.dtype)])
+            flat_e = jnp.concatenate([flat_e, jnp.full((pad,), E_local, flat_e.dtype)])
             flat_w = jnp.concatenate([flat_w, jnp.zeros((pad,), flat_w.dtype)])
         order = jnp.argsort(flat_e)
         token_of = jnp.minimum(order // k, T - 1)
         xs = x[token_of]
-        group_sizes = jnp.bincount(flat_e, length=E).astype(jnp.int32)
+        group_sizes = jnp.bincount(flat_e, length=E_local).astype(jnp.int32)
 
         g = _grouped_matmul(xs, lp["moe_gate"], group_sizes)
         u = _grouped_matmul(xs, lp["moe_up"], group_sizes)
@@ -398,6 +476,8 @@ class MLADecoderModel:
         h = params["embed_tokens"][mi.token_ids]
         cos, sin = self._rope_tables(mi.positions)
 
+        tp_axis = self.parallel.tp_axis
+
         def dense_layer(carry, xs):
             h = carry
             lp, kvc = xs
@@ -407,6 +487,8 @@ class MLADecoderModel:
             u = jnp.dot(x, lp["up_proj"], preferred_element_type=jnp.float32)
             m = act_with_mul(a.hidden_act, g, u).astype(h.dtype)
             m = jnp.dot(m, lp["down_proj"], preferred_element_type=jnp.float32)
+            if tp_axis is not None:
+                m = lax.psum(m, tp_axis)
             return h + m.astype(h.dtype), kvc
 
         def moe_layer(carry, xs):
@@ -415,6 +497,8 @@ class MLADecoderModel:
             h, kvc = self._attention(lp, h, mi, cos, sin, kvc)
             x = rms_norm(h, lp["post_norm"], a.rms_norm_eps)
             m = self._moe_ffn(lp, x)
+            if tp_axis is not None:
+                m = lax.psum(m, tp_axis)
             return h + m.astype(h.dtype), kvc
 
         nd = self.n_dense
@@ -437,10 +521,16 @@ class MLADecoderModel:
     def logits(self, params, hidden):
         a = self.args
         if a.tie_word_embeddings:
-            w = params["embed_tokens"].T
-        else:
-            w = params["lm_head"]
-        return jnp.dot(hidden, w, preferred_element_type=jnp.float32)
+            w = params["embed_tokens"].T  # replicated
+            return jnp.dot(hidden, w, preferred_element_type=jnp.float32)
+        logits = jnp.dot(
+            hidden, params["lm_head"], preferred_element_type=jnp.float32
+        )
+        if self.parallel.tp_axis is not None:
+            logits = lax.all_gather(
+                logits, self.parallel.tp_axis, axis=1, tiled=True
+            )
+        return logits
 
 
 # ------------------------------------------------------------------- registry

@@ -59,7 +59,10 @@ def _make_zoo_checkpoint(tmp_path, family):
     return make_checkpoint(tmp_path, family)[0]
 
 
-@pytest.mark.parametrize("family,tp", [("llama", 4), ("mixtral", 4), ("qwen2", 2)])
+@pytest.mark.parametrize(
+    "family,tp",
+    [("llama", 4), ("mixtral", 4), ("qwen2", 2), ("deepseek_v2", 2)],
+)
 def test_tp_matches_single_device(tmp_path, family, tp):
     d = _make_zoo_checkpoint(tmp_path, family)
     single = _greedy_step(d, None, 1)
