@@ -44,7 +44,7 @@ def build_model(preset: str):
             rope_theta=500000.0,
             quant_args=QuantArgs(
                 quant_method="gptq", bits=4, group_size=128,
-                quantize_lm_head=True,
+                quantize_lm_head=_os.environ.get("BENCH_LM_HEAD", "") or True,
             ),
         )
     elif preset == "tinyllama-1.1b":
@@ -75,7 +75,13 @@ def build_model(preset: str):
         raise ValueError(preset)
     if layers_override:
         args.n_layers = layers_override
-    return DecoderModel(args, ParallelConfig())
+    attn_impl = None
+    if _os.environ.get("BENCH_SKIP_ATTN"):
+        # Perf-decomposition mode: identity attention isolates the
+        # projection/kernel cost from the attention kernel cost.
+        def attn_impl(q, kvc, *a_, **k_):
+            return q
+    return DecoderModel(args, ParallelConfig(), attn_impl)
 
 
 def param_bytes(model) -> int:

@@ -36,7 +36,7 @@ from scalellm_tpu.engine.params import ModelInputs
 from scalellm_tpu.layers.activations import ACT2FN, act_with_mul
 from scalellm_tpu.layers.norms import layer_norm, rms_norm
 from scalellm_tpu.layers.rope import apply_rope, compute_cos_sin
-from scalellm_tpu.ops.attention import kernel_head_dim, ragged_paged_attention
+from scalellm_tpu.ops.attention import kv_layout, ragged_paged_attention
 from scalellm_tpu.ops.kv_update import set_kv_cache
 from scalellm_tpu.parallel.config import ParallelConfig
 
@@ -72,9 +72,13 @@ class DecoderModel:
         self.kv_replication = max(1, tp // args.n_kv_heads)
         self.n_local_kv_heads = max(1, args.n_kv_heads // tp)
         assert args.intermediate_size % tp == 0
-        # KV pages may store zero-padded heads when the attention backend
-        # needs a wider lane-aligned head dim (TPU kernel: multiples of 128).
-        self.kv_head_dim = kernel_head_dim(args.head_dim)
+        # KV page head layout: the TPU kernel needs lane-aligned (128x)
+        # head dims. Heads are packed kv_pack-per-stored-row when they fit
+        # exactly (head_dim 64 -> pairs), else zero-padded (see
+        # ops/attention.py kv_layout).
+        self.kv_stored_heads, self.kv_head_dim, self.kv_pack = kv_layout(
+            self.n_local_kv_heads, args.head_dim
+        )
         # int8 KV cache: halves KV HBM + bandwidth; pages dequantized by the
         # attention kernel's static k/v scales (see PAPERS.md kv-quant line).
         self.kv_quant = args.kv_cache_dtype == "int8"
@@ -216,11 +220,16 @@ class DecoderModel:
 
     def _tile_n(self, n_local: int) -> int:
         """Stored quant tile width for a LOCAL (per-shard) output width —
-        the largest power-of-two ≤ DEFAULT_TILE_N dividing nothing in
-        particular: widths are simply padded up to a tile multiple."""
+        the largest power-of-two ≤ the default dividing nothing in
+        particular: widths are simply padded up to a tile multiple.
+        Env QUANT_TILE_N overrides for sweeps (takes effect at param
+        creation/load time — the width is baked into the stored layout)."""
+        import os
+
         from scalellm_tpu.ops.quant_matmul import DEFAULT_TILE_N
 
-        return min(DEFAULT_TILE_N, n_local)
+        w = int(os.environ.get("QUANT_TILE_N", 0)) or DEFAULT_TILE_N
+        return min(w, n_local)
 
     def _tiled_shape(self, triple: Dict[str, Tuple], tp_sharded: bool) -> Dict[str, Tuple]:
         """Flat quant triple shapes (L, R, N) → tiled (L, n_n, R, W). For
@@ -543,7 +552,7 @@ class DecoderModel:
         """GLOBAL combined kv cache shape (K/V interleaved on the head dim,
         K even / V odd; that dim is sharded over tp)."""
         a = self.args
-        Hkv = self.n_local_kv_heads * self.parallel.tp_size
+        Hkv = self.kv_stored_heads * self.parallel.tp_size
         return (a.n_layers, num_pages, page_size, 2 * Hkv, self.kv_head_dim)
 
     def kv_cache_partition_spec(self) -> P:
@@ -650,8 +659,11 @@ class DecoderModel:
         params: Dict[str, Any],
         kv_cache: jnp.ndarray,  # [L, P, page, 2*Hkv_local, Dh] (local shapes)
         mi: ModelInputs,
+        all_hidden: bool = False,
     ):
-        """Returns (hidden_selected [S, D], new_kv_cache)."""
+        """Returns (hidden_selected [S, D], new_kv_cache); with
+        all_hidden=True, the full [T, D] hidden states instead (callers
+        gather — used by prompt-logprob scoring and the ppl harness)."""
         a = self.args
         tp_axis = self.parallel.tp_axis
         H_local = self.n_local_heads
@@ -671,6 +683,16 @@ class DecoderModel:
             cos = sin = None
         windows = self._layer_windows()
         soft_cap = a.attn_logit_soft_cap if a.attn_logit_soft_cap > 0 else None
+        if self.kv_pack > 1:
+            # Owner slot of each q head inside its packed stored KV head:
+            # q head h reads kv head (h // gqa_group), stored at slot
+            # (kv_head % kv_pack) of stored head (kv_head // kv_pack) — the
+            # latter matching the kernel's h // (gqa_group * kv_pack) map.
+            gqa_group = H_local // Hkv_local
+            q_slot = jnp.asarray(
+                [(h // gqa_group) % self.kv_pack for h in range(H_local)],
+                jnp.int32,
+            )
 
         def attend(q, kvc, window):
             # int8 KV: pages store round(x / s) with per-layer calibrated
@@ -791,7 +813,19 @@ class DecoderModel:
                 q = apply_rope(q, cos, sin, a.interleaved_rope)
                 k = apply_rope(k, cos, sin, a.interleaved_rope)
 
-            if self.kv_head_dim != Dh:
+            if self.kv_pack > 1:
+                # Head packing (see ops/attention.py kv_layout): adjacent KV
+                # head groups concat onto one 128-lane stored head; each q
+                # head keeps zeros outside its owner slot so the kernel's
+                # full-width q.k dot yields exactly its own head's score.
+                pk = self.kv_pack
+                k = k.reshape(T, Hkv_local // pk, pk * Dh)
+                v = v.reshape(T, Hkv_local // pk, pk * Dh)
+                slot_oh = jax.nn.one_hot(q_slot, pk, dtype=q.dtype)  # [H, pk]
+                q = (slot_oh[None, :, :, None] * q[:, :, None, :]).reshape(
+                    T, H_local, pk * Dh
+                )
+            elif self.kv_head_dim != Dh:
                 pad = [(0, 0), (0, 0), (0, self.kv_head_dim - Dh)]
                 q = jnp.pad(q, pad)
                 k = jnp.pad(k, pad)
@@ -823,7 +857,15 @@ class DecoderModel:
                 )
             if self.kv_quant:
                 o = (o.astype(jnp.float32) * vs).astype(o.dtype)
-            if self.kv_head_dim != Dh:
+            if self.kv_pack > 1:
+                # Each head's output lives in its owner slot of the packed
+                # 128-lane V rows; select it back out.
+                o = jnp.einsum(
+                    "thpd,hp->thd",
+                    o.reshape(T, H_local, self.kv_pack, Dh),
+                    jax.nn.one_hot(q_slot, self.kv_pack, dtype=o.dtype),
+                )
+            elif self.kv_head_dim != Dh:
                 o = o[..., :Dh]
             o = self._proj(o.reshape(T, H_local * Dh), lp["o_proj"])[
                 :, : a.hidden_size
@@ -857,6 +899,8 @@ class DecoderModel:
         h, new_kv = lax.scan(layer_fn, h, xs)
 
         h = self._norm(h, params["final_norm"], params.get("final_norm_bias"))
+        if all_hidden:
+            return h, new_kv
         hidden_sel = h[mi.selected_idxes]  # [S, D]
         return hidden_sel, new_kv
 

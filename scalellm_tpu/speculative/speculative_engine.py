@@ -26,7 +26,7 @@ import numpy as np
 from scalellm_tpu.engine.batch import Batch
 from scalellm_tpu.engine.llm_engine import EngineOptions, LLMEngine
 from scalellm_tpu.model_loader.loader import HFModelLoader
-from scalellm_tpu.ops.attention import kernel_head_dim
+from scalellm_tpu.ops.attention import kv_layout
 from scalellm_tpu.request.sequence import EngineType
 from scalellm_tpu.utils.metrics import COUNTERS, HISTOGRAMS
 
@@ -35,8 +35,8 @@ logger = logging.getLogger(__name__)
 
 def _slot_bytes(model_args) -> int:
     dtype_size = {"bfloat16": 2, "float16": 2, "float32": 4}[model_args.dtype]
-    head_dim = kernel_head_dim(model_args.head_dim)
-    return 2 * model_args.n_layers * model_args.n_kv_heads * head_dim * dtype_size
+    n_heads, head_dim, _ = kv_layout(model_args.n_kv_heads, model_args.head_dim)
+    return 2 * model_args.n_layers * n_heads * head_dim * dtype_size
 
 
 class SpeculativeEngine:
@@ -220,6 +220,8 @@ class SpeculativeEngine:
             repetition_penalties=np.ones(S, np.float32),
             unique_token_ids=np.zeros((S, 1), np.int32),
             unique_token_counts=np.zeros((S, 1), np.int32),
+            bias_token_ids=np.zeros((S, 1), np.int32),
+            bias_values=np.zeros((S, 1), np.float32),
             seeds=seeds,
         )
 
