@@ -144,6 +144,26 @@ class Batch:
         unique_ids = np.zeros((S, max(U, 1)), dtype=np.int32)
         unique_counts = np.zeros((S, max(U, 1)), dtype=np.int32)
 
+        # Logit bias entries (same padded-scatter pattern as the histograms).
+        B = 0
+        if any(e.seq.sampling_params.logit_bias for e in self.entries):
+            B = max(
+                len(e.seq.sampling_params.logit_bias or ())
+                for e in self.entries
+            )
+            B = max(8, 1 << (B - 1).bit_length())
+        bias_ids = np.zeros((S, max(B, 1)), dtype=np.int32)
+        bias_vals = np.zeros((S, max(B, 1)), dtype=np.float32)
+
+        # Prompt-logprob scoring (SamplingParams.prompt_logprobs): targets[t]
+        # is the NEXT prompt token for prefill position t; stays 0 (ignored)
+        # elsewhere. Only set while a requesting sequence still has prompt
+        # tokens entering the batch, so decode-only steps skip the scoring
+        # program entirely.
+        self._score_targets = np.zeros(T, dtype=np.int32)
+        self._score_top_k = None
+        self._score_spans = []
+
         t = 0
         for s, e in enumerate(self.entries):
             seq = e.seq
@@ -183,6 +203,20 @@ class Batch:
                 for u, (tid, cnt) in enumerate(items):
                     unique_ids[s, u] = tid
                     unique_counts[s, u] = cnt
+            if B and sp.logit_bias:
+                for j, (tid, bv) in enumerate(list(sp.logit_bias.items())[:B]):
+                    bias_ids[s, j] = tid
+                    bias_vals[s, j] = bv
+            n_prompt = seq.num_prompt_tokens
+            if sp.prompt_logprobs is not None and start < n_prompt:
+                self._score_top_k = max(
+                    self._score_top_k or 0, sp.prompt_logprobs
+                )
+                self._score_spans.append((e, t, start, end))
+                # p's target is prompt token p+1 — defined through position
+                # n_prompt-2 (the last prompt token's successor is sampled).
+                for p in range(start, min(end, n_prompt - 1)):
+                    self._score_targets[t + (p - start)] = seq.token_ids[p + 1]
             t += e.num_tokens
 
         # Padding rows repeat the last cumulative value (zero-length chunks).
@@ -208,11 +242,57 @@ class Batch:
             repetition_penalties=rep_p,
             unique_token_ids=unique_ids,
             unique_token_counts=unique_counts,
+            bias_token_ids=bias_ids,
+            bias_values=bias_vals,
             seeds=seeds,
         )
         return mi, si, needs_sample
 
     # ------------------------------------------------------------- outputs
+
+    @property
+    def score_top_k(self) -> Optional[int]:
+        """Top-k for prompt scoring, or None when this step needs none."""
+        return self._score_top_k
+
+    @property
+    def score_targets(self) -> np.ndarray:
+        return self._score_targets
+
+    def process_prompt_scores(
+        self,
+        t_lps: np.ndarray,  # [T]
+        top_ids: Optional[np.ndarray],  # [T, K]
+        top_lps: Optional[np.ndarray],  # [T, K]
+        tokenizer=None,
+    ) -> None:
+        """Record teacher-forced prompt logprobs onto their sequences.
+        Position-indexed assignment (Sequence.set_prompt_logprob) keeps this
+        idempotent under preemption + prefill recompute."""
+        for e, t0, start, end in self._score_spans:
+            seq = e.seq
+            k = seq.sampling_params.prompt_logprobs or 0
+            n_prompt = seq.num_prompt_tokens
+            for p in range(start, min(end, n_prompt - 1)):
+                t = t0 + (p - start)
+                tid = seq.token_ids[p + 1]
+                lp = LogProb(
+                    token=tokenizer.id_to_token(tid) if tokenizer else "",
+                    token_id=tid,
+                    logprob=float(t_lps[t]),
+                )
+                if k > 0 and top_ids is not None and top_ids.shape[1]:
+                    lp.top_logprobs = [
+                        LogProbData(
+                            token=tokenizer.id_to_token(int(top_ids[t, j]))
+                            if tokenizer
+                            else "",
+                            token_id=int(top_ids[t, j]),
+                            logprob=float(top_lps[t, j]),
+                        )
+                        for j in range(min(k, top_ids.shape[1]))
+                    ]
+                seq.set_prompt_logprob(p + 1, lp)
 
     def process_sample_output(
         self,

@@ -32,7 +32,7 @@ from scalellm_tpu.parallel import multihost
 
 logger = logging.getLogger(__name__)
 
-# header: [running_flag, T, S, MAXP, U, K(top_logprobs), reserved, reserved]
+# header: [running_flag, T, S, MAXP, U, B(logit-bias width), reserved, reserved]
 _HEADER_LEN = 8
 _STOP = -1
 
@@ -44,11 +44,13 @@ def _header_of(mi: ModelInputs, si: SamplingInputs) -> np.ndarray:
     h[2] = mi.kv_lens.shape[0]
     h[3] = mi.block_tables.shape[1]
     h[4] = si.unique_token_ids.shape[1]
+    h[5] = si.bias_token_ids.shape[1]
     return h
 
 
 def _placeholders(h: np.ndarray) -> Tuple[ModelInputs, SamplingInputs]:
     T, S, MAXP, U = int(h[1]), int(h[2]), int(h[3]), int(h[4])
+    B = max(int(h[5]), 1)
     mi = ModelInputs(
         token_ids=np.zeros(T, np.int32),
         positions=np.zeros(T, np.int32),
@@ -70,6 +72,8 @@ def _placeholders(h: np.ndarray) -> Tuple[ModelInputs, SamplingInputs]:
         repetition_penalties=np.zeros(S, np.float32),
         unique_token_ids=np.zeros((S, U), np.int32),
         unique_token_counts=np.zeros((S, U), np.int32),
+        bias_token_ids=np.zeros((S, B), np.int32),
+        bias_values=np.zeros((S, B), np.float32),
         seeds=np.zeros(S, np.uint32),
     )
     return mi, si

@@ -178,10 +178,25 @@ class Executor:
         except ImportError:  # older jax
             from jax.experimental.shard_map import shard_map
 
-        pspecs = model.param_partition_specs()
-        kv_spec = model.kv_cache_partition_spec()
-        replicated = P()
+        mi_specs, si_specs, out_specs = self._shard_specs()
+        sharded = shard_map(
+            step,
+            mesh=self.mesh,
+            in_specs=(
+                model.param_partition_specs(),
+                model.kv_cache_partition_spec(),
+                mi_specs,
+                si_specs,
+            ),
+            out_specs=out_specs,
+            check_vma=False,
+        )
+        return jax.jit(sharded, donate_argnums=(1,))
 
+    def _shard_specs(self):
+        """(mi, si, (outs, kv)) PartitionSpecs for the shard_map step: step
+        inputs/sampling outputs are replicated; only params + KV shard."""
+        replicated = P()
         mi_specs = ModelInputs(
             token_ids=replicated,
             positions=replicated,
@@ -203,6 +218,8 @@ class Executor:
             repetition_penalties=replicated,
             unique_token_ids=replicated,
             unique_token_counts=replicated,
+            bias_token_ids=replicated,
+            bias_values=replicated,
             seeds=replicated,
         )
         out_specs = (
@@ -212,27 +229,96 @@ class Executor:
                 top_ids=replicated,
                 top_logprobs=replicated,
             ),
-            kv_spec,
+            self.model.kv_cache_partition_spec(),
         )
-        sharded = shard_map(
-            step,
-            mesh=self.mesh,
-            in_specs=(pspecs, kv_spec, mi_specs, si_specs),
-            out_specs=out_specs,
-            check_vma=False,
-        )
-        return jax.jit(sharded, donate_argnums=(1,))
+        return mi_specs, si_specs, out_specs
 
     @functools.cached_property
     def _step_fn(self):
         return self._build_step_fn()
 
+    def _build_score_step_fn(self, k: int):
+        """Step variant that ALSO scores the prompt: teacher-forced logprob
+        of targets[t] at every batch position t (+ top-k alternatives),
+        computed from the same prefill pass (no extra forward) — the engine
+        side of SamplingParams.prompt_logprobs. The lm_head runs chunked
+        over T so the [C, V] logits never materialize at full [T, V]."""
+        model = self.model
+        max_k = self.max_top_logprobs
+
+        def step(params, kv_cache, mi: ModelInputs, si: SamplingInputs, targets):
+            h, new_kv = model.forward(params, kv_cache, mi, all_hidden=True)
+            outs = sample_tokens(
+                model.logits(params, h[mi.selected_idxes]), si,
+                max_top_logprobs=max_k,
+            )
+            T, D = h.shape
+            C = 128 if T % 128 == 0 else T
+            def score_chunk(args):
+                hc, tc = args
+                lp = jax.nn.log_softmax(
+                    model.logits(params, hc).astype(jnp.float32), axis=-1
+                )
+                tlp = jnp.take_along_axis(lp, tc[:, None], axis=1)[:, 0]
+                if k > 0:
+                    top_lp, top_id = jax.lax.top_k(lp, k)
+                else:
+                    top_lp = jnp.zeros((C, 0), jnp.float32)
+                    top_id = jnp.zeros((C, 0), jnp.int32)
+                return tlp, top_id, top_lp
+
+            tlp, top_id, top_lp = jax.lax.map(
+                score_chunk,
+                (h.reshape(T // C, C, D), targets.reshape(T // C, C)),
+            )
+            scores = (
+                tlp.reshape(T),
+                top_id.reshape(T, k).astype(jnp.int32),
+                top_lp.reshape(T, k),
+            )
+            return outs, new_kv, scores
+
+        if self.mesh is None:
+            return jax.jit(step, donate_argnums=(1,))
+
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+
+        replicated = P()
+        mi_specs, si_specs, out_specs = self._shard_specs()
+        sharded = shard_map(
+            step,
+            mesh=self.mesh,
+            in_specs=(
+                self.model.param_partition_specs(),
+                self.model.kv_cache_partition_spec(),
+                mi_specs, si_specs, replicated,
+            ),
+            out_specs=out_specs + ((replicated, replicated, replicated),),
+            check_vma=False,
+        )
+        return jax.jit(sharded, donate_argnums=(1,))
+
+    @functools.cache
+    def _score_step_fn(self, k: int):
+        return self._build_score_step_fn(k)
+
     # ---------------------------------------------------------------- execute
 
     def execute(
-        self, mi: ModelInputs, si: SamplingInputs
-    ) -> ModelOutputs:
-        """Run one step; KV caches are updated in place (donated)."""
+        self,
+        mi: ModelInputs,
+        si: SamplingInputs,
+        score_targets=None,  # [T] int32 — enables prompt scoring
+        score_top_k: int = 0,
+    ):
+        """Run one step; KV caches are updated in place (donated).
+
+        Returns ModelOutputs; with score_targets set, (ModelOutputs,
+        (target_logprobs [T], top_ids [T, k], top_logprobs [T, k])) — the
+        prompt-logprob scores of this step's batch positions."""
         assert self.kv_cache is not None, "init_kv_cache first"
         if self._multiprocess:
             # Step inputs are identical on every host (host-0 broadcast);
@@ -247,10 +333,22 @@ class Executor:
 
             mi = jax.tree_util.tree_map(to_global, mi)
             si = jax.tree_util.tree_map(to_global, si)
+            if score_targets is not None:
+                score_targets = to_global(np.asarray(score_targets, np.int32))
         else:
             mi = jax.tree_util.tree_map(jnp.asarray, mi)
             si = jax.tree_util.tree_map(jnp.asarray, si)
-        outs, self.kv_cache = self._step_fn(self.params, self.kv_cache, mi, si)
+        scores = None
+        if score_targets is not None:
+            targets = jnp.asarray(np.asarray(score_targets, np.int32)) \
+                if not self._multiprocess else score_targets
+            outs, self.kv_cache, scores = self._score_step_fn(score_top_k)(
+                self.params, self.kv_cache, mi, si, targets
+            )
+        else:
+            outs, self.kv_cache = self._step_fn(
+                self.params, self.kv_cache, mi, si
+            )
         size = self._jit_cache_size()
         if size is not None:
             if (
@@ -268,6 +366,8 @@ class Executor:
                     mi.block_tables.shape[1],
                 )
             self._last_cache_size = size
+        if scores is not None:
+            return outs, scores
         return outs
 
     def _jit_cache_size(self) -> Optional[int]:
@@ -331,15 +431,25 @@ class Executor:
         self._in_warmup = True
         try:
             for T, S, MAXP in buckets:
+                # A minimal VALID batch (1 seq, 1 query token, KV on the
+                # reserved padding page) — not all-zero: the attention
+                # kernel faults the TPU on num_seqs=0 buckets when the
+                # model stores a single KV head (MQA / packed head_dim-64),
+                # and the fault surfaces asynchronously at the next fetch.
+                # Shapes alone determine what gets compiled.
+                kv_lens = np.zeros(S, np.int32)
+                kv_lens[0] = 1
+                cu_q_lens = np.ones(S + 1, np.int32)
+                cu_q_lens[0] = 0
                 mi = ModelInputs(
                     token_ids=np.zeros(T, np.int32),
                     positions=np.zeros(T, np.int32),
                     token_seg=np.zeros(T, np.int32),
                     new_kv_slot_ids=np.zeros(T, np.int32),
                     block_tables=np.zeros((S, MAXP), np.int32),
-                    kv_lens=np.zeros(S, np.int32),
-                    cu_q_lens=np.zeros(S + 1, np.int32),
-                    num_seqs=np.zeros(1, np.int32),
+                    kv_lens=kv_lens,
+                    cu_q_lens=cu_q_lens,
+                    num_seqs=np.ones(1, np.int32),
                     selected_idxes=np.zeros(S, np.int32),
                     seq_mask=np.zeros(S, np.float32),
                 )
@@ -352,6 +462,8 @@ class Executor:
                     repetition_penalties=np.ones(S, np.float32),
                     unique_token_ids=np.zeros((S, 1), np.int32),
                     unique_token_counts=np.zeros((S, 1), np.int32),
+                    bias_token_ids=np.zeros((S, 1), np.int32),
+                    bias_values=np.zeros((S, 1), np.float32),
                     seeds=np.zeros(S, np.uint32),
                 )
                 self.execute(mi, si)

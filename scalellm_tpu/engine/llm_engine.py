@@ -203,9 +203,10 @@ class LLMEngine:
             if a.kv_cache_dtype == "int8"
             else {"bfloat16": 2, "float16": 2, "float32": 4}[a.dtype]
         )
-        n_kv = self.model.n_local_kv_heads * self.model.parallel.tp_size
-        head_dim = getattr(self.model, "kv_head_dim", a.head_dim)
-        return 2 * a.n_layers * n_kv * head_dim * dtype_size
+        # Derive from the model's own page layout (covers head packing /
+        # padding and deepseek's single-latent-head cache uniformly).
+        shape = self.model.kv_cache_shape(1, 1)  # [L, 1, 1, 2*Hkv, Dh]
+        return shape[0] * shape[-2] * shape[-1] * dtype_size
 
     def _profile_num_blocks(self) -> int:
         """Profile available device memory and size the KV cache
@@ -251,7 +252,20 @@ class LLMEngine:
         mi, si, needs_sample = batch.prepare_model_inputs(
             self.options.block_size, self._step_counter
         )
-        outs = self.executor.execute(mi, si)
+        if batch.score_top_k is not None:
+            outs, scores = self.executor.execute(
+                mi, si,
+                score_targets=batch.score_targets,
+                score_top_k=batch.score_top_k,
+            )
+            batch.process_prompt_scores(
+                np.asarray(scores[0]),
+                np.asarray(scores[1]),
+                np.asarray(scores[2]),
+                self.tokenizer,
+            )
+        else:
+            outs = self.executor.execute(mi, si)
         next_tokens = np.asarray(outs.next_tokens)
         want_lp = any(
             e.seq.sampling_params.logprobs for e in batch.entries

@@ -60,6 +60,10 @@ class SamplingInputs:
     # count 0) — the unique-token-counts trick from reference batch.cpp:144-195.
     unique_token_ids: jnp.ndarray
     unique_token_counts: jnp.ndarray
+    # [S, B] additive logit bias entries (padding: id 0 with bias 0.0 —
+    # a zero scatter-add is a no-op). B is 1 when no sequence uses bias.
+    bias_token_ids: jnp.ndarray
+    bias_values: jnp.ndarray
     # [S] PRNG seed per sequence step
     seeds: jnp.ndarray
 

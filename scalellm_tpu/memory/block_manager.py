@@ -70,7 +70,15 @@ class BlockManager:
         allocates fresh blocks, evicting from the cache if needed
         (reference: block_manager.cpp:48 allocate_blocks_for).
         """
-        if self._prefix_cache is not None and not seq.blocks:
+        if (
+            self._prefix_cache is not None
+            and not seq.blocks
+            # prompt_logprobs needs every prompt position to run through
+            # prefill — a prefix hit would skip the cached positions'
+            # scores, so those requests bypass cache reuse (they still
+            # PUBLISH their blocks to the cache on release).
+            and seq.sampling_params.prompt_logprobs is None
+        ):
             # Only match the *prompt* prefix, and never the full sequence —
             # the last token's KV must be recomputed to produce logits.
             matchable = seq.token_ids[: seq.num_prompt_tokens - 1]

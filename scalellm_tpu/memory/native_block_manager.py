@@ -83,7 +83,14 @@ class NativeBlockManager:
     # ------------------------------------------------------------- allocate
 
     def allocate_blocks_for(self, seq: "Sequence", num_tokens: int) -> bool:
-        if self._enable_prefix_cache and not seq.blocks:
+        if (
+            self._enable_prefix_cache
+            and not seq.blocks
+            # prompt_logprobs requests bypass cache reuse: every prompt
+            # position must run through prefill to be scored (same guard as
+            # the Python BlockManager).
+            and seq.sampling_params.prompt_logprobs is None
+        ):
             matchable = seq.token_ids[: seq.num_prompt_tokens - 1]
             shared_ids = self._store.match(matchable)
             if shared_ids:

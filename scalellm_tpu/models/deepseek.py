@@ -471,7 +471,7 @@ class MLADecoderModel:
             )
         return out
 
-    def forward(self, params, kv_cache, mi: ModelInputs):
+    def forward(self, params, kv_cache, mi: ModelInputs, all_hidden: bool = False):
         a = self.args
         h = params["embed_tokens"][mi.token_ids]
         cos, sin = self._rope_tables(mi.positions)
@@ -516,6 +516,8 @@ class MLADecoderModel:
         new_kv = jnp.concatenate(kv_out, axis=0) if len(kv_out) > 1 else kv_out[0]
 
         h = rms_norm(h, params["final_norm"], a.rms_norm_eps)
+        if all_hidden:
+            return h, new_kv
         return h[mi.selected_idxes], new_kv
 
     def logits(self, params, hidden):

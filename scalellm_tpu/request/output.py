@@ -116,3 +116,6 @@ class RequestOutput:
     outputs: List[SequenceOutput] = field(default_factory=list)
     usage: Optional[Usage] = None
     finished: bool = False
+    # Teacher-forced prompt logprobs (entry i scores prompt token i; entry 0
+    # is None) — present when SamplingParams.prompt_logprobs was requested.
+    prompt_logprobs: Optional[List[Optional[LogProb]]] = None

@@ -157,4 +157,8 @@ class Request:
             outputs=outputs,
             usage=self.build_usage(),
             finished=True,
+            # all n sequences share the prompt — scores live on the first
+            prompt_logprobs=self.sequences[0].prompt_logprobs
+            if self.sequences
+            else None,
         )

@@ -82,6 +82,15 @@ class Sequence:
         )
         # logprobs per generated token (None entries when not requested)
         self.logprobs: List[Optional[LogProb]] = []
+        # teacher-forced prompt logprobs (SamplingParams.prompt_logprobs):
+        # entry i scores prompt token i given tokens [0, i); entry 0 is
+        # always None (no conditioning context). Filled position-indexed by
+        # Batch.process_prompt_scores.
+        self.prompt_logprobs: Optional[List[Optional[LogProb]]] = (
+            [None] * self._num_prompt_tokens
+            if sampling_params.prompt_logprobs is not None
+            else None
+        )
 
         self.created_time = time.monotonic()
         self.first_token_time: Optional[float] = None
@@ -111,6 +120,14 @@ class Sequence:
     @property
     def token_counts(self) -> Dict[int, int]:
         return self._token_counts
+
+    def set_prompt_logprob(self, position: int, lp: LogProb) -> None:
+        """Record the teacher-forced logprob of prompt token `position`
+        (idempotent — safe under preemption + prefill recompute)."""
+        if self.prompt_logprobs is not None and 0 < position < len(
+            self.prompt_logprobs
+        ):
+            self.prompt_logprobs[position] = lp
 
     def append_token(self, token_id: int, logprob: Optional[LogProb] = None) -> None:
         """Append one generated token (reference: sequence.h append_token)."""

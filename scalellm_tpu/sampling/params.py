@@ -7,7 +7,7 @@ Mirrors the reference's SamplingParams surface
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import List, Optional
+from typing import Dict, List, Optional
 
 
 @dataclass
@@ -31,6 +31,9 @@ class SamplingParams:
     # Logprobs of sampled tokens (and top_logprobs alternatives).
     logprobs: bool = False
     top_logprobs: int = 0
+    # Teacher-forced logprobs of the PROMPT tokens: None = off; k >= 0 also
+    # returns the top-k alternatives per prompt position.
+    prompt_logprobs: Optional[int] = None
     # Eos/stop handling.
     skip_special_tokens: bool = True
     ignore_eos: bool = False
@@ -38,6 +41,10 @@ class SamplingParams:
     stop_token_ids: Optional[List[int]] = None
     # Optional RNG seed for reproducible sampling.
     seed: Optional[int] = None
+    # Additive per-token logit bias (token id -> bias, OpenAI semantics:
+    # values in [-100, 100]; -100 effectively bans a token). Applied to the
+    # raw logits before penalties/temperature.
+    logit_bias: Optional[Dict[int, float]] = None
 
     def __post_init__(self):
         if self.best_of is None:
@@ -76,3 +83,15 @@ class SamplingParams:
             bad("repetition_penalty must be > 0")
         if self.top_logprobs < 0 or self.top_logprobs > 20:
             bad("top_logprobs must be in [0, 20]")
+        if self.prompt_logprobs is not None and not (
+            0 <= self.prompt_logprobs <= 20
+        ):
+            bad("prompt_logprobs must be in [0, 20]")
+        if self.logit_bias is not None:
+            if len(self.logit_bias) > 1024:
+                bad("logit_bias supports at most 1024 tokens")
+            for tid, b in self.logit_bias.items():
+                if not isinstance(tid, int) or tid < 0:
+                    bad("logit_bias keys must be non-negative token ids")
+                if not -100.0 <= float(b) <= 100.0:
+                    bad("logit_bias values must be in [-100, 100]")

@@ -75,6 +75,18 @@ def apply_repetition_penalty(
     return jax.vmap(one)(logits, unique_ids, unique_counts, repetition_penalties)
 
 
+def apply_logit_bias(
+    logits: jnp.ndarray,  # [S, V] f32
+    bias_ids: jnp.ndarray,  # [S, B] int32 (pad id 0 with bias 0)
+    bias_values: jnp.ndarray,  # [S, B] f32
+) -> jnp.ndarray:
+    """Additive per-token bias (OpenAI logit_bias semantics). Padding
+    entries add 0 to token 0 — a no-op, so no masking is needed."""
+    return jax.vmap(lambda l, ids, b: l.at[ids].add(b, mode="drop"))(
+        logits, bias_ids, bias_values
+    )
+
+
 def apply_temperature(logits: jnp.ndarray, temperatures: jnp.ndarray) -> jnp.ndarray:
     """Scale by 1/T; T==0 (greedy) is passed through unscaled — greedy argmax
     is temperature-invariant (reference: logits_processor temperature)."""
@@ -130,6 +142,12 @@ def sample(
 def process_logits(logits: jnp.ndarray, si: SamplingInputs) -> jnp.ndarray:
     """Full LogitsProcessor pipeline (reference order: worker.cpp:156-187)."""
     logits = logits.astype(jnp.float32)
+    logits = jax.lax.cond(
+        jnp.any(si.bias_values != 0.0),
+        lambda l: apply_logit_bias(l, si.bias_token_ids, si.bias_values),
+        lambda l: l,
+        logits,
+    )
     need_fp = jnp.any(si.frequency_penalties != 0.0) | jnp.any(
         si.presence_penalties != 0.0
     )

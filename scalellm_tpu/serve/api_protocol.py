@@ -32,6 +32,26 @@ def _get(d: Dict[str, Any], key: str, typ, default=None):
     return v
 
 
+
+def _parse_logit_bias(d: Dict[str, Any]) -> Optional[Dict[int, float]]:
+    """OpenAI logit_bias: JSON map of token-id STRING -> bias number."""
+    lb = d.get("logit_bias")
+    if lb is None:
+        return None
+    if not isinstance(lb, dict):
+        _bad("logit_bias must be an object mapping token ids to numbers")
+    out: Dict[int, float] = {}
+    for k, v in lb.items():
+        try:
+            tid = int(k)
+        except (TypeError, ValueError):
+            _bad("logit_bias keys must be integer token ids")
+        if not isinstance(v, (int, float)) or isinstance(v, bool):
+            _bad("logit_bias values must be numbers")
+        out[tid] = float(v)
+    return out or None
+
+
 @dataclass
 class CompletionRequest:
     """POST /v1/completions body (reference: api_protocol.py CompletionRequest)."""
@@ -57,6 +77,7 @@ class CompletionRequest:
     ignore_eos: bool = False
     skip_special_tokens: bool = True
     priority: str = "normal"  # "high" | "normal" | "low"
+    logit_bias: Optional[Dict[int, float]] = None
 
     @classmethod
     def from_json(cls, d: Dict[str, Any]) -> "CompletionRequest":
@@ -93,6 +114,7 @@ class CompletionRequest:
             ignore_eos=_get(d, "ignore_eos", bool, False),
             skip_special_tokens=_get(d, "skip_special_tokens", bool, True),
             priority=_get(d, "priority", str, "normal"),
+            logit_bias=_parse_logit_bias(d),
         )
 
     def to_priority(self):
@@ -121,6 +143,12 @@ class CompletionRequest:
             stop=self.stop,
             stop_token_ids=self.stop_token_ids,
             seed=self.seed,
+            logit_bias=self.logit_bias,
+            # OpenAI: echo=True with logprobs=N also returns logprobs of
+            # the prompt tokens (with N alternatives per position).
+            prompt_logprobs=self.logprobs
+            if self.echo and self.logprobs is not None
+            else None,
         )
         return sp
 
@@ -150,6 +178,7 @@ class ChatCompletionRequest:
     ignore_eos: bool = False
     skip_special_tokens: bool = True
     priority: str = "normal"
+    logit_bias: Optional[Dict[int, float]] = None
 
     @classmethod
     def from_json(cls, d: Dict[str, Any]) -> "ChatCompletionRequest":
@@ -185,6 +214,7 @@ class ChatCompletionRequest:
             ignore_eos=_get(d, "ignore_eos", bool, False),
             skip_special_tokens=_get(d, "skip_special_tokens", bool, True),
             priority=_get(d, "priority", str, "normal"),
+            logit_bias=_parse_logit_bias(d),
         )
 
     def to_priority(self):
@@ -211,6 +241,7 @@ class ChatCompletionRequest:
             stop=self.stop,
             stop_token_ids=self.stop_token_ids,
             seed=self.seed,
+            logit_bias=self.logit_bias,
         )
 
 

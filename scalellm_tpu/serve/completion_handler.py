@@ -11,11 +11,26 @@ from scalellm_tpu.serve.api_protocol import CompletionRequest, now
 from scalellm_tpu.serve.http import Response, SSEResponse
 
 
-def _logprobs_json(logprobs) -> dict | None:
-    if not logprobs:
+def _logprobs_json(logprobs, prompt_logprobs=None) -> dict | None:
+    if not logprobs and not prompt_logprobs:
         return None
     tokens, token_lps, top = [], [], []
-    for lp in logprobs:
+    if prompt_logprobs:
+        # echo mode: prompt entries first; position 0 has no conditioning
+        # context — OpenAI emits null for its logprob.
+        for lp in prompt_logprobs:
+            if lp is None:
+                tokens.append("")
+                token_lps.append(None)
+                top.append(None)
+            else:
+                tokens.append(lp.token)
+                token_lps.append(lp.logprob)
+                top.append(
+                    {d.token: d.logprob for d in (lp.top_logprobs or [])}
+                    or None
+                )
+    for lp in logprobs or []:
         tokens.append(lp.token)
         token_lps.append(lp.logprob)
         top.append(
@@ -29,11 +44,13 @@ def _logprobs_json(logprobs) -> dict | None:
     }
 
 
-def _choice(seq_out, include_logprobs: bool) -> dict:
+def _choice(seq_out, include_logprobs: bool, prompt_logprobs=None) -> dict:
     return {
         "index": seq_out.index,
         "text": seq_out.text,
-        "logprobs": _logprobs_json(seq_out.logprobs) if include_logprobs else None,
+        "logprobs": _logprobs_json(seq_out.logprobs, prompt_logprobs)
+        if include_logprobs
+        else None,
         "finish_reason": seq_out.finish_reason.to_api_string()
         if seq_out.finish_reason
         else None,
@@ -55,7 +72,10 @@ async def generate_completion_response(
         async for out in stream:
             if out.finished:
                 for so in out.outputs:
-                    c = _choice(so, include_lp)
+                    c = _choice(
+                        so, include_lp,
+                        prompt_logprobs=out.prompt_logprobs if req.echo else None,
+                    )
                     c["index"] = len(all_choices)
                     all_choices.append(c)
                 if out.usage:

@@ -69,6 +69,8 @@ def _to_sampling_params(pb: llm_pb2.SamplingParams) -> SamplingParams:
         sp.stop_token_ids = list(pb.stop_token_ids)
     if pb.HasField("seed"):
         sp.seed = pb.seed
+    if pb.logit_bias:
+        sp.logit_bias = {int(k): float(v) for k, v in pb.logit_bias.items()}
     if sp.best_of is None:
         sp.best_of = sp.n
     return sp

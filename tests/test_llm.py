@@ -156,3 +156,83 @@ def test_chunked_prefill_equivalence(tiny_model):
     )
     got = chunked.generate([prompt], sp)[0].outputs[0].token_ids
     assert got == expected
+
+
+def test_logit_bias_bans_token(tiny_model, llm):
+    """Banning each greedily-chosen first token (-100 bias) must change the
+    generation to the runner-up; an empty/absent bias must not change it."""
+    from scalellm_tpu import SamplingParams
+
+    base = llm.generate(
+        ["hello"], SamplingParams(max_tokens=4, temperature=0.0, ignore_eos=True)
+    )[0].outputs[0].token_ids
+    banned = base[0]
+    sp = SamplingParams(
+        max_tokens=4, temperature=0.0, ignore_eos=True,
+        logit_bias={banned: -100.0},
+    )
+    got = llm.generate(["hello"], sp)[0].outputs[0].token_ids
+    assert banned not in got  # ban holds at every step
+    sp2 = SamplingParams(
+        max_tokens=4, temperature=0.0, ignore_eos=True, logit_bias={}
+    )
+    again = llm.generate(["hello"], sp2)[0].outputs[0].token_ids
+    assert again == base
+
+
+def test_prompt_logprobs_match_hf(tiny_model, llm):
+    """SamplingParams.prompt_logprobs returns the teacher-forced logprob of
+    every prompt token (entry 0 None) matching HF's log_softmax, including
+    top-k alternatives."""
+    import torch
+    from transformers import LlamaForCausalLM
+
+    from scalellm_tpu import SamplingParams
+
+    prompt = "hello world"
+    prompt_ids = [ord(c) for c in prompt]
+    sp = SamplingParams(
+        max_tokens=2, temperature=0.0, ignore_eos=True, prompt_logprobs=3
+    )
+    out = llm.generate([prompt], sp)[0]
+    plps = out.prompt_logprobs
+    assert plps is not None and len(plps) == len(prompt_ids)
+    assert plps[0] is None
+
+    model = LlamaForCausalLM.from_pretrained(tiny_model).eval()
+    with torch.no_grad():
+        logits = model(torch.tensor([prompt_ids])).logits[0]
+    ref_lp = torch.log_softmax(logits.float(), dim=-1)
+    for i in range(1, len(prompt_ids)):
+        got = plps[i]
+        assert got.token_id == prompt_ids[i]
+        want = float(ref_lp[i - 1, prompt_ids[i]])
+        np.testing.assert_allclose(got.logprob, want, rtol=1e-3, atol=1e-3)
+        want_top = torch.topk(ref_lp[i - 1], 3)
+        assert [d.token_id for d in got.top_logprobs] == want_top.indices.tolist()
+
+
+def test_prompt_logprobs_chunked_prefill(tiny_model):
+    """Prompt scoring must survive chunked prefill (prompt split across
+    steps): same logprobs as the single-chunk run."""
+    from scalellm_tpu import LLM, SamplingParams
+
+    prompt = "abcdefghij"
+    sp = SamplingParams(
+        max_tokens=1, temperature=0.0, ignore_eos=True, prompt_logprobs=0
+    )
+    whole = LLM(tiny_model, block_size=4, num_blocks=512, enable_cuda_graph=False)
+    lp_whole = [
+        None if l is None else l.logprob
+        for l in whole.generate([prompt], sp)[0].prompt_logprobs
+    ]
+    chunked = LLM(
+        tiny_model, block_size=4, num_blocks=512, enable_cuda_graph=False,
+        max_tokens_per_batch=4,
+    )
+    lp_chunked = [
+        None if l is None else l.logprob
+        for l in chunked.generate([prompt], sp)[0].prompt_logprobs
+    ]
+    assert lp_whole[0] is None and lp_chunked[0] is None
+    np.testing.assert_allclose(lp_chunked[1:], lp_whole[1:], rtol=1e-4, atol=1e-5)

@@ -20,6 +20,8 @@ def make_si(S, V, **kw):
         repetition_penalties=np.ones(S, np.float32),
         unique_token_ids=np.zeros((S, U), np.int32),
         unique_token_counts=np.zeros((S, U), np.int32),
+        bias_token_ids=np.zeros((S, U), np.int32),
+        bias_values=np.zeros((S, U), np.float32),
         seeds=np.arange(S, dtype=np.uint32),
     )
     for k, v in kw.items():
@@ -149,3 +151,21 @@ def test_random_sampling_distribution():
     outs = sample_tokens(logits, si)
     frac0 = (np.asarray(outs.next_tokens) == 0).mean()
     assert 0.7 < frac0 < 0.9
+
+
+def test_logit_bias_bans_and_boosts():
+    from scalellm_tpu.sampling.sampler import sample_tokens
+
+    logits = np.array(
+        [[0.1, 3.0, 0.5, -1.0], [0.1, 3.0, 0.5, -1.0]], np.float32
+    )
+    # Row 0: ban the argmax (token 1) and boost token 3; row 1: no bias
+    # (padding entries id 0 / bias 0 must be no-ops).
+    si = make_si(
+        2, 4,
+        bias_token_ids=np.array([[1, 3], [0, 0]], np.int32),
+        bias_values=np.array([[-100.0, 6.0], [0.0, 0.0]], np.float32),
+        U=2,
+    )
+    outs = sample_tokens(logits, si)
+    assert list(np.asarray(outs.next_tokens)) == [3, 1]
