@@ -243,6 +243,113 @@ def _group_kernel(x_ref, qw_ref, sc_ref, *rest, n_k: int, bits: int, symmetric: 
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
+def _gemv_kernel(x_ref, qw_ref, sc_ref, *rest, n_k: int, bits: int, symmetric: bool):
+    """Small-M EXPERIMENTAL variant: ONE MXU dot per grid cell via a
+    block-diagonal activation matrix.
+
+    The group variant issues n_g separate [M, G] @ [G, BN] dots. Hypothesis:
+    at M=1 the per-dot MXU pipeline fill dominates. This variant instead
+    builds xd[(g, m), k] = x[m, k] * (k // G == g) (a [n_g*M, BK]
+    block-diagonal matrix, cheap VPU mask work) and issues a single
+    [n_g*M, BK] @ [BK, BN] mixed-dtype dot: row (g, m) of the result is
+    exactly the group-g partial dot for row m, so per-group scaling/
+    zero-correction applies post-dot as before.
+
+    MEASURED on v5e (Llama-8B INT4 b=1 in-model A/B): SLOWER than the
+    group variant (85.8 vs 94.9 tok/s) at identical outputs — the single
+    big dot costs the same ~5.4µs/tile as the n_g batched dots, so
+    pipeline fill is NOT the M=1 bottleneck; the mixed bf16×int4 MXU dot
+    itself is issue-limited. Kept selectable (variant="gemv") for future
+    sweeps; never chosen by default.
+    """
+    if symmetric:
+        o_ref, acc_ref = rest
+        zp_ref = None
+    else:
+        zp_ref, o_ref, acc_ref = rest
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w = _unpack_tile(qw_ref, bits)  # [BK, BN]
+    bk, bn = w.shape
+    s = _aux_tile(sc_ref).astype(jnp.float32)  # [n_g, BN]
+    n_g = s.shape[0]
+    G = bk // n_g
+    m = x_ref.shape[0]
+    x = jnp.tile(x_ref[:], (n_g, 1))  # [(g, m) rows, BK]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n_g * m, bk), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n_g * m, bk), 1)
+    xd = jnp.where(rows // m == cols // G, x, 0)
+    dots = jax.lax.dot_general(
+        xd, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).reshape(n_g, m, bn)
+    if symmetric:
+        acc_ref[:] += jnp.sum(dots * s[:, None, :], axis=0)
+    else:
+        xsum = jnp.sum(xd.astype(jnp.float32), axis=1).reshape(n_g, m)
+        z = _aux_tile(zp_ref).astype(jnp.float32)
+        corr = xsum[:, :, None] * z[:, None, :]
+        acc_ref[:] += jnp.sum((dots - corr) * s[:, None, :], axis=0)
+
+    @pl.when(kk == n_k - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def _w4a8_kernel(x_ref, qw_ref, sc_ref, *rest, n_k: int, bits: int, symmetric: bool):
+    """W4A8: INT8 activations × INT4/8 weights on the MXU's integer path.
+
+    The v5e MXU issues int8×int8 dots at 2× the bf16 rate (394 vs 197
+    TOPS), and mixed bf16×int4 dots run on the bf16 path — so when the
+    M=1 bottleneck is dot issue rate (measured: see _gemv_kernel note),
+    integer dots can double it. The caller quantizes activations to int8
+    dynamically PER ROW (x ≈ xq * s_x, s_x = absmax/127) and applies s_x
+    to the kernel output — the kernel is linear in x, so activation
+    scaling never enters it. In-kernel the structure matches
+    _group_kernel: per-group int dots (int32 accumulation), post-dot
+    group scaling, Marlin-style zero correction (xsum in int32).
+    """
+    if symmetric:
+        o_ref, acc_ref = rest
+        zp_ref = None
+    else:
+        zp_ref, o_ref, acc_ref = rest
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # Mosaic's integer matmul path needs BOTH operands int8 ("Mix int/int
+    # - NYI" on int8 x int4) — widen the int4 tile; the convert is VPU work
+    # overlapped with the dots, and the int8 dot still runs at 2x bf16 rate.
+    w = _unpack_tile(qw_ref, bits).astype(jnp.int8)  # [BK, BN]
+    bk, bn = w.shape
+    s = _aux_tile(sc_ref).astype(jnp.float32)  # [n_g, BN]
+    n_g = s.shape[0]
+    G = bk // n_g
+    m = x_ref.shape[0]
+    w = w.reshape(n_g, G, bn)
+    x = x_ref[:].reshape(m, n_g, G).transpose(1, 0, 2)  # int8 [n_g, M, G]
+    dots = jax.lax.dot_general(
+        x, w, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.int32
+    ).astype(jnp.float32)  # [n_g, M, BN]
+    if symmetric:
+        acc_ref[:] += jnp.sum(dots * s[:, None, :], axis=0)
+    else:
+        xsum = jnp.sum(x.astype(jnp.int32), axis=2).astype(jnp.float32)
+        z = _aux_tile(zp_ref).astype(jnp.float32)
+        corr = xsum[:, :, None] * z[:, None, :]
+        acc_ref[:] += jnp.sum((dots - corr) * s[:, None, :], axis=0)
+
+    @pl.when(kk == n_k - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
 def _dequant_kernel(x_ref, qw_ref, sc_ref, *rest, n_k: int, bits: int, symmetric: bool):
     """Dequantize the weight tile in VMEM, then ONE large dot per cell.
 
@@ -317,7 +424,12 @@ def _pick_blocks(M: int, K: int, N: int, bits: int) -> tuple[int, int, str]:
     QUANT_VARIANT override for experiments."""
     bn = _env_int("QUANT_BLOCK_N", 0)
     bk = _env_int("QUANT_BLOCK_K", 0)
-    variant = _env_str("QUANT_VARIANT", "") or "group"
+    # Decode-sized M defaults to W4A8: int8 activation x int8-widened
+    # weight dots run on the MXU's integer path at 2x the bf16 rate, which
+    # is the M=1 bottleneck (measured in-model on v5e: Llama-8B INT4 b=1
+    # 94.8 -> 117.7 tok/s; ppl delta on the trained fixture +0.002%).
+    # Prefill (M > 64) overrides back to the bf16 large-dot paths below.
+    variant = _env_str("QUANT_VARIANT", "") or ("w4a8" if M <= 64 else "group")
     return (bn or 4096, bk or 2048, variant)
 
 
@@ -364,11 +476,11 @@ def quant_matmul(
     variant = variant or dv
 
     G = K // scales.shape[-2]
-    if G < 128:
+    if G < 128 and variant in ("group", "w4a8"):
         # The group variant's [M, n_g, G] reshape/transpose needs the minor
         # dim to span full 128-lane registers; Mosaic rejects smaller G
         # ("unsupported shape cast"). The dequant variant only reshapes the
-        # weight tile along sublanes and handles any G.
+        # weight tile along sublanes and handles any G (as does gemv).
         variant = "dequant"
     block_n = min(block_n, N)
     # The scales/zeros blocks are [block_k/G, block_n]; Mosaic requires the
@@ -391,6 +503,11 @@ def quant_matmul(
     # prefill -> compute-bound; the extra weight re-fetches per M tile are
     # amortized by the MXU work.
     if M > 64:
+        if variant in ("gemv", "w4a8"):
+            # gemv's [n_g*M, BK] block-diagonal matrix only pays off for
+            # small M; w4a8's accuracy trade is tuned for decode. Prefill
+            # goes through the large-dot paths below.
+            variant = "group"
         if tiled or variant == "dequant":
             variant = "dequant"
             block_k = _shrink_block_k(
@@ -409,7 +526,26 @@ def quant_matmul(
     n_m = pl.cdiv(M, block_m)
 
     qk_rows = block_k // 2 if bits == 4 else block_k
-    kernel = _group_kernel if variant == "group" else _dequant_kernel
+    kernel = {
+        "group": _group_kernel,
+        "dequant": _dequant_kernel,
+        "gemv": _gemv_kernel,
+        "w4a8": _w4a8_kernel,
+    }[variant]
+
+    if variant == "w4a8":
+        # Dynamic per-row int8 activation quantization; s_x folds into the
+        # output (the kernel is linear in x — see _w4a8_kernel).
+        sx = jnp.maximum(
+            jnp.max(jnp.abs(x.astype(jnp.float32)), axis=1, keepdims=True),
+            1e-10,
+        ) / 127.0
+        x_op = jnp.clip(
+            jnp.round(x.astype(jnp.float32) / sx), -127, 127
+        ).astype(jnp.int8)
+    else:
+        sx = None
+        x_op = x.astype(jnp.bfloat16)
 
     if tiled:
         w_spec = pl.BlockSpec(
@@ -435,14 +571,14 @@ def quant_matmul(
         w_spec,
         aux_spec,
     ]
-    operands = [x.astype(jnp.bfloat16), qweight, scales]
+    operands = [x_op, qweight, scales]
     bytes_w = qweight.size * 1 + scales.size * scales.dtype.itemsize
     if not symmetric:
         in_specs.append(aux_spec)
         operands.append(zeros)
         bytes_w += zeros.size
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(kernel, n_k=n_k, bits=bits, symmetric=symmetric),
         out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
         grid=(n_m, n_n, n_k),
@@ -460,3 +596,6 @@ def quant_matmul(
             transcendentals=0,
         ),
     )(*operands)
+    if sx is not None:
+        out = (out.astype(jnp.float32) * sx).astype(out.dtype)
+    return out
