@@ -1,0 +1,161 @@
+"""Gateway integration test: REST edge tier -> gRPC serving process
+(mirrors the reference's Go gateway role, gateway/main.go:22-55 —
+completion/chat/models proxying with SSE streaming)."""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+import time
+import urllib.error
+import urllib.request
+
+import pytest
+
+import tests.fixtures as fixtures
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _post(url: str, body: dict, timeout: float = 180.0) -> dict:
+    req = urllib.request.Request(
+        url,
+        data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return json.loads(r.read())
+
+
+def _post_sse(url: str, body: dict, timeout: float = 180.0):
+    req = urllib.request.Request(
+        url,
+        data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    chunks = []
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        for raw in r:
+            line = raw.decode().strip()
+            if not line.startswith("data: "):
+                continue
+            payload = line[len("data: "):]
+            if payload == "[DONE]":
+                break
+            chunks.append(json.loads(payload))
+    return chunks
+
+
+@pytest.fixture(scope="module")
+def gateway(tmp_path_factory):
+    model_dir = str(tmp_path_factory.mktemp("tiny_llama_gw"))
+    fixtures.make_tiny_llama(model_dir, tokenizer=True)
+    grpc_port, http_port = _free_port(), _free_port()
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    server = subprocess.Popen(
+        [
+            sys.executable, "-m", "scalellm_tpu.serve.grpc_server",
+            "--model", model_dir, "--port", str(grpc_port),
+            "--host", "127.0.0.1",
+            "--num-blocks", "128", "--block-size", "4", "--disable-warmup",
+        ],
+        env=env, cwd=cwd,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+    )
+    gw = subprocess.Popen(
+        [
+            sys.executable, "-m", "scalellm_tpu.serve.gateway",
+            "--grpc-server", f"127.0.0.1:{grpc_port}",
+            "--http-server", f"127.0.0.1:{http_port}",
+        ],
+        env=env, cwd=cwd,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+    )
+    base = f"http://127.0.0.1:{http_port}"
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        for proc, name in ((server, "grpc server"), (gw, "gateway")):
+            if proc.poll() is not None:
+                raise RuntimeError(f"{name} died:\n{proc.stdout.read().decode()}")
+        try:
+            with urllib.request.urlopen(base + "/health", timeout=2) as r:
+                if r.status == 200:
+                    break
+        except Exception:
+            time.sleep(1.0)
+    else:
+        raise RuntimeError("gateway never became healthy")
+    yield base
+    for proc in (gw, server):
+        proc.terminate()
+        try:
+            proc.wait(timeout=10)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+
+
+def test_models_through_gateway(gateway):
+    with urllib.request.urlopen(gateway + "/v1/models", timeout=30) as r:
+        data = json.loads(r.read())
+    assert data["object"] == "list"
+    assert len(data["data"]) == 1
+
+
+def test_completion_nonstream(gateway):
+    resp = _post(
+        gateway + "/v1/completions",
+        {
+            "model": "m", "prompt": "hello", "max_tokens": 4,
+            "temperature": 0.0, "ignore_eos": True,
+        },
+    )
+    assert resp["object"] == "text_completion"
+    assert resp["choices"][0]["finish_reason"] == "length"
+    assert resp["usage"]["completion_tokens"] == 4
+
+
+def test_completion_stream_sse(gateway):
+    chunks = _post_sse(
+        gateway + "/v1/completions",
+        {
+            "model": "m", "prompt": "hello", "max_tokens": 4,
+            "temperature": 0.0, "ignore_eos": True, "stream": True,
+        },
+    )
+    assert chunks
+    text = "".join(
+        c["choices"][0]["text"] for c in chunks if c.get("choices")
+    )
+    assert len(text) > 0
+    assert chunks[-1]["choices"][0]["finish_reason"] == "length"
+
+
+def test_chat_through_gateway(gateway):
+    resp = _post(
+        gateway + "/v1/chat/completions",
+        {
+            "model": "m",
+            "messages": [{"role": "user", "content": "hi"}],
+            "max_tokens": 4, "temperature": 0.0, "ignore_eos": True,
+        },
+    )
+    assert resp["object"] == "chat.completion"
+    assert resp["choices"][0]["message"]["role"] == "assistant"
+
+
+def test_validation_rejected_at_edge(gateway):
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _post(
+            gateway + "/v1/completions",
+            {"model": "m", "prompt": "x", "max_tokens": 0},
+        )
+    assert exc.value.code == 400
