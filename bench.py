@@ -145,8 +145,9 @@ def run_decode_bench(preset: str, batch: int, steps: int, page_size: int = 16):
         key = jax.random.PRNGKey(0)
         params = model.init_params(key)
 
-    # One sequence per batch lane, each with a 128-token prefilled context.
-    ctx = 128
+    # One sequence per batch lane, each with a 128-token prefilled context
+    # (BENCH_CTX overrides for KV-bandwidth-sensitivity sweeps).
+    ctx = int(os.environ.get("BENCH_CTX", 0)) or 128
     pages_per_seq = (ctx + 1 + steps + page_size - 1) // page_size + 1
     num_pages = 1 + batch * pages_per_seq  # page 0 reserved
     shape = model.kv_cache_shape(num_pages, page_size)
@@ -180,7 +181,12 @@ def run_decode_bench(preset: str, batch: int, steps: int, page_size: int = 16):
                 selected_idxes=jnp.arange(batch, dtype=jnp.int32),
                 seq_mask=jnp.ones((batch,), jnp.float32),
             )
-            hidden, kv_cache = model.forward(params, kv_cache, mi)
+            # decode_only routes to the in-house decode attention kernel
+            # (serving default for all-decode batches); env
+            # ATTN_DECODE_IMPL=stock A/Bs back to the stock ragged kernel.
+            hidden, kv_cache = model.forward(
+                params, kv_cache, mi, decode_only=True
+            )
             logits = model.logits(params, hidden)
             next_tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             return (kv_cache, next_tokens), next_tokens
@@ -281,6 +287,8 @@ def main():
         }
         headline = result
         print(json.dumps(result), file=sys.stderr)
+        if os.environ.get("BENCH_QUICK"):
+            continue  # b=1 only (kernel sweeps)
         if on_tpu and preset == "llama31-8b-int4":
             tps8, _ = run_decode_bench(preset, 8, steps)
             print(

@@ -32,12 +32,14 @@ from scalellm_tpu.parallel import multihost
 
 logger = logging.getLogger(__name__)
 
-# header: [running_flag, T, S, MAXP, U, B(logit-bias width), reserved, reserved]
+# header: [running_flag, T, S, MAXP, U, B(logit-bias width), decode_only, reserved]
 _HEADER_LEN = 8
 _STOP = -1
 
 
-def _header_of(mi: ModelInputs, si: SamplingInputs) -> np.ndarray:
+def _header_of(
+    mi: ModelInputs, si: SamplingInputs, decode_only: bool = False
+) -> np.ndarray:
     h = np.zeros(_HEADER_LEN, np.int32)
     h[0] = 1
     h[1] = mi.token_ids.shape[0]
@@ -45,6 +47,7 @@ def _header_of(mi: ModelInputs, si: SamplingInputs) -> np.ndarray:
     h[3] = mi.block_tables.shape[1]
     h[4] = si.unique_token_ids.shape[1]
     h[5] = si.bias_token_ids.shape[1]
+    h[6] = int(decode_only)
     return h
 
 
@@ -104,10 +107,13 @@ class DistributedLLMEngine(LLMEngine):
         mi, si, needs_sample = batch.prepare_model_inputs(
             self.options.block_size, self._step_counter
         )
-        (header,) = multihost.broadcast_step_inputs(_header_of(mi, si))
+        decode_only = batch.is_decode_only
+        (header,) = multihost.broadcast_step_inputs(
+            _header_of(mi, si, decode_only)
+        )
         del header  # driver's own copy is authoritative
         (mi, si) = multihost.broadcast_step_inputs((mi, si))[0]
-        outs = self.executor.execute(mi, si)
+        outs = self.executor.execute(mi, si, decode_only=decode_only)
         next_tokens = np.asarray(outs.next_tokens)
         want_lp = any(e.seq.sampling_params.logprobs for e in batch.entries)
         logprobs = np.asarray(outs.logprobs) if want_lp else None
@@ -132,7 +138,7 @@ class DistributedLLMEngine(LLMEngine):
                 return
             mi, si = _placeholders(header)
             (mi, si) = multihost.broadcast_step_inputs((mi, si))[0]
-            self.executor.execute(mi, si)
+            self.executor.execute(mi, si, decode_only=bool(header[6]))
 
     def shutdown_followers(self) -> None:
         if not self._multi:

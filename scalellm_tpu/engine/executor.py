@@ -156,15 +156,64 @@ class Executor:
         shape = self.model.kv_cache_shape(num_blocks, block_size)
         return int(np.prod(shape)) * jnp.dtype(self._kv_dtype).itemsize
 
+    # ------------------------------------------------------------- kv swap
+
+    @functools.cache
+    def _gather_pages_fn(self, n: int):
+        return jax.jit(lambda kv, ids: kv[:, ids])
+
+    @functools.cache
+    def _scatter_pages_fn(self, n: int):
+        return jax.jit(
+            lambda kv, ids, data: kv.at[:, ids].set(data),
+            donate_argnums=(0,),
+        )
+
+    @staticmethod
+    def _page_bucket(n: int) -> int:
+        return 1 << (n - 1).bit_length()  # pow2 page-count buckets
+
+    def fetch_pages(self, page_ids: np.ndarray) -> np.ndarray:
+        """Device -> host copy of the given KV pages: [L, n, ps, 2H, D].
+        Page counts are padded to pow2 buckets (ids repeat the last page)
+        so the gather program compiles O(log) times, not once per count."""
+        n = len(page_ids)
+        b = self._page_bucket(n)
+        ids = np.concatenate(
+            [page_ids, np.full(b - n, page_ids[-1], np.int32)]
+        )
+        out = self._gather_pages_fn(b)(self.kv_cache, jnp.asarray(ids))
+        return np.asarray(out[:, :n])
+
+    def restore_pages(self, page_ids: np.ndarray, data: np.ndarray) -> None:
+        """Host -> device scatter of staged pages into new slots (in place:
+        the cache array is donated). Padding repeats the last (id, page)
+        pair — an idempotent duplicate write."""
+        n = len(page_ids)
+        assert data.shape[1] == n
+        b = self._page_bucket(n)
+        ids = np.concatenate(
+            [page_ids, np.full(b - n, page_ids[-1], np.int32)]
+        )
+        data = np.concatenate(
+            [data, np.repeat(data[:, -1:], b - n, axis=1)], axis=1
+        )
+        self.kv_cache = self._scatter_pages_fn(b)(
+            self.kv_cache, jnp.asarray(ids), jnp.asarray(data)
+        )
+
     # ---------------------------------------------------------------- step fn
 
-    def _build_step_fn(self):
-        """The per-step program: forward → logits → sample."""
+    def _build_step_fn(self, decode_only: bool = False):
+        """The per-step program: forward → logits → sample. decode_only
+        compiles the all-decode variant (in-house decode attention)."""
         model = self.model
         max_k = self.max_top_logprobs
 
         def step(params, kv_cache, mi: ModelInputs, si: SamplingInputs):
-            hidden, new_kv = model.forward(params, kv_cache, mi)
+            hidden, new_kv = model.forward(
+                params, kv_cache, mi, decode_only=decode_only
+            )
             logits = model.logits(params, hidden)
             outs = sample_tokens(logits, si, max_top_logprobs=max_k)
             return outs, new_kv
@@ -233,9 +282,18 @@ class Executor:
         )
         return mi_specs, si_specs, out_specs
 
-    @functools.cached_property
+    @functools.cache
+    def _step_fn_for(self, decode_only: bool):
+        from scalellm_tpu.ops.attention import native_decode_active
+
+        if decode_only and not native_decode_active():
+            # Same program as the mixed variant — share the compile.
+            return self._step_fn_for(False)
+        return self._build_step_fn(decode_only)
+
+    @property
     def _step_fn(self):
-        return self._build_step_fn()
+        return self._step_fn_for(False)
 
     def _build_score_step_fn(self, k: int):
         """Step variant that ALSO scores the prompt: teacher-forced logprob
@@ -313,6 +371,7 @@ class Executor:
         si: SamplingInputs,
         score_targets=None,  # [T] int32 — enables prompt scoring
         score_top_k: int = 0,
+        decode_only: bool = False,  # STATIC: all-decode batch (1 q tok/seq)
     ):
         """Run one step; KV caches are updated in place (donated).
 
@@ -346,7 +405,7 @@ class Executor:
                 self.params, self.kv_cache, mi, si, targets
             )
         else:
-            outs, self.kv_cache = self._step_fn(
+            outs, self.kv_cache = self._step_fn_for(decode_only)(
                 self.params, self.kv_cache, mi, si
             )
         size = self._jit_cache_size()
@@ -371,9 +430,11 @@ class Executor:
         return outs
 
     def _jit_cache_size(self) -> Optional[int]:
-        fn = self._step_fn
         try:
-            return fn._cache_size()
+            return sum(
+                self._step_fn_for(flag)._cache_size()
+                for flag in (False, True)
+            )
         except Exception:
             return None
 
@@ -406,7 +467,10 @@ class Executor:
         if mode == "off":
             return
         if mode == "fast":
-            buckets = [(16, 1, PAGE_BUCKETS[0]), (16, 8, PAGE_BUCKETS[0])]
+            buckets = [
+                (16, 1, PAGE_BUCKETS[0], True),
+                (16, 8, PAGE_BUCKETS[0], True),
+            ]
         else:
             pages_env = pick_bucket(
                 PAGE_BUCKETS, max(max_context_len // block_size, 1)
@@ -419,10 +483,13 @@ class Executor:
                 if S > s_env:
                     break
                 for mp in maxps:
-                    # decode: one new token per sequence (T tracks S)
-                    bucket_set.add((pick_bucket(TOKEN_BUCKETS, S), S, mp))
+                    # decode: one new token per sequence (T tracks S);
+                    # compiled with the decode-specialized attention
+                    bucket_set.add(
+                        (pick_bucket(TOKEN_BUCKETS, S), S, mp, True)
+                    )
                     # chunked prefill / mixed: full token budget at this S
-                    bucket_set.add((t_pre, S, mp))
+                    bucket_set.add((t_pre, S, mp, False))
             buckets = sorted(bucket_set)
 
         import time
@@ -430,7 +497,7 @@ class Executor:
         t0 = time.monotonic()
         self._in_warmup = True
         try:
-            for T, S, MAXP in buckets:
+            for T, S, MAXP, decode_only in buckets:
                 # A minimal VALID batch (1 seq, 1 query token, KV on the
                 # reserved padding page) — not all-zero: the attention
                 # kernel faults the TPU on num_seqs=0 buckets when the
@@ -466,7 +533,7 @@ class Executor:
                     bias_values=np.zeros((S, 1), np.float32),
                     seeds=np.zeros(S, np.uint32),
                 )
-                self.execute(mi, si)
+                self.execute(mi, si, decode_only=decode_only)
         finally:
             self._in_warmup = False
         logger.info(

@@ -67,6 +67,11 @@ class EngineOptions:
     # or disabled). Buckets compile once ever, not once per process — warm
     # restarts skip all jit compiles.
     compilation_cache_dir: str = ""
+    # KV swap-out preemption: stage preempted sequences' KV pages in host
+    # memory and restore on reschedule instead of re-prefilling (the
+    # reference only drops + recomputes). 0 disables; otherwise the host
+    # staging-pool byte budget.
+    host_swap_bytes: int = 0
 
 
 class LLMEngine:
@@ -173,6 +178,25 @@ class LLMEngine:
                 )
             )
         self.executor.init_kv_cache(num_blocks, options.block_size)
+
+        # KV swap-out preemption (memory/kv_swap.py). Driver-local staging:
+        # disabled on multi-host meshes where followers' caches must stay
+        # in lockstep with the driver's jitted steps.
+        self.kv_swapper = None
+        if options.host_swap_bytes > 0:
+            import jax as _jax
+
+            if _jax.process_count() == 1:
+                from scalellm_tpu.memory.kv_swap import HostKVPool, KVSwapper
+
+                self.kv_swapper = KVSwapper(
+                    self.executor,
+                    self.block_manager,
+                    options.block_size,
+                    HostKVPool(options.host_swap_bytes),
+                )
+            else:
+                logger.warning("kv swap disabled on multi-host meshes")
         logger.info(
             "kv cache: %d blocks x %d slots (%.2f GiB)",
             num_blocks,
@@ -265,7 +289,9 @@ class LLMEngine:
                 self.tokenizer,
             )
         else:
-            outs = self.executor.execute(mi, si)
+            outs = self.executor.execute(
+                mi, si, decode_only=batch.is_decode_only
+            )
         next_tokens = np.asarray(outs.next_tokens)
         want_lp = any(
             e.seq.sampling_params.logprobs for e in batch.entries

@@ -660,10 +660,14 @@ class DecoderModel:
         kv_cache: jnp.ndarray,  # [L, P, page, 2*Hkv_local, Dh] (local shapes)
         mi: ModelInputs,
         all_hidden: bool = False,
+        decode_only: bool = False,
     ):
         """Returns (hidden_selected [S, D], new_kv_cache); with
         all_hidden=True, the full [T, D] hidden states instead (callers
-        gather — used by prompt-logprob scoring and the ppl harness)."""
+        gather — used by prompt-logprob scoring and the ppl harness).
+        decode_only=True (STATIC) asserts every sequence contributes
+        exactly one query token (row s of q = sequence s) and routes
+        attention to the decode-specialized kernel."""
         a = self.args
         tp_axis = self.parallel.tp_axis
         H_local = self.n_local_heads
@@ -712,6 +716,7 @@ class DecoderModel:
                 logit_soft_cap=soft_cap,
                 k_scale=1.0 if self.kv_quant else None,
                 v_scale=1.0 if self.kv_quant else None,
+                decode_only=decode_only,
             )
 
         def dense_ffn(lp, x):

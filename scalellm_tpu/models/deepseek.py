@@ -471,7 +471,10 @@ class MLADecoderModel:
             )
         return out
 
-    def forward(self, params, kv_cache, mi: ModelInputs, all_hidden: bool = False):
+    def forward(
+        self, params, kv_cache, mi: ModelInputs, all_hidden: bool = False,
+        decode_only: bool = False,  # MLA path: accepted, not yet specialized
+    ):
         a = self.args
         h = params["embed_tokens"][mi.token_ids]
         cos, sin = self._rope_tables(mi.positions)
