@@ -65,6 +65,8 @@ class LLMHandlerOptions:
     distributed: bool = False
     quantize_lm_head: "bool | str" = False  # False | True=int8 | "int4"
     quantize: str = ""  # runtime quant of dense checkpoints: "" | "int4" | "int8"
+    # KV swap-out preemption pool bytes (0 = off; memory/kv_swap.py).
+    host_swap_bytes: int = 0
 
 
 class LLMHandler:
@@ -88,6 +90,7 @@ class LLMHandler:
             kv_cache_dtype=options.kv_cache_dtype,
             quantize_lm_head=options.quantize_lm_head,
             quantize=options.quantize,
+            host_swap_bytes=options.host_swap_bytes,
         )
         if options.draft_model_path:
             from scalellm_tpu.speculative.speculative_engine import SpeculativeEngine

@@ -35,6 +35,7 @@ class LLM:
         kv_cache_dtype: str = "auto",
         quantize: str = "",
         quantize_lm_head: "bool | str" = False,
+        host_swap_bytes: int = 0,
         mesh=None,
     ) -> None:
         options = LLMHandlerOptions(
@@ -54,6 +55,7 @@ class LLM:
             kv_cache_dtype=kv_cache_dtype,
             quantize=quantize,
             quantize_lm_head=quantize_lm_head,
+            host_swap_bytes=host_swap_bytes,
         )
         self._handler = LLMHandler(options, mesh=mesh)
 

@@ -96,6 +96,19 @@ class BlockManager:
         seq.append_blocks(self._allocator.allocate_many(need))
         return True
 
+    def allocate_fresh_blocks_for(self, seq: "Sequence", num_tokens: int) -> bool:
+        """allocate_blocks_for WITHOUT prefix-cache matching — used by KV
+        swap-in, whose staged data already covers generated tokens (which
+        the prefix cache never serves) and must land in unshared blocks."""
+        cur_capacity = seq.kv_cache_capacity
+        if num_tokens <= cur_capacity:
+            return True
+        need = (num_tokens - cur_capacity + self._block_size - 1) // self._block_size
+        if not self._ensure_free(need):
+            return False
+        seq.append_blocks(self._allocator.allocate_many(need))
+        return True
+
     def has_enough_blocks(self, num_blocks: int) -> bool:
         """(reference: block_manager.cpp:112) — true if allocation of
         num_blocks can succeed, possibly after cache eviction."""
@@ -126,6 +139,14 @@ class BlockManager:
         n_blocks = n_cached_tokens // self._block_size
         if n_blocks:
             self._prefix_cache.insert(seq.token_ids[: n_blocks * self._block_size], seq.blocks[:n_blocks])
+
+    def release_without_caching(self, seq: "Sequence") -> None:
+        """Free the sequence's blocks WITHOUT publishing to the prefix
+        cache — KV swap-out staged the contents to host memory, and the
+        swap-in must land in unshared blocks."""
+        for block in seq.blocks:
+            block.dec_ref()
+        seq.release_blocks()
 
     def deallocate(self, seq: "Sequence") -> None:
         """Release the sequence's blocks, caching them first when prefix

@@ -116,6 +116,26 @@ class NativeBlockManager:
         )
         return True
 
+    def allocate_fresh_blocks_for(self, seq: "Sequence", num_tokens: int) -> bool:
+        """allocate_blocks_for WITHOUT prefix-cache matching (KV swap-in —
+        same contract as the Python BlockManager)."""
+        cur_capacity = seq.kv_cache_capacity
+        if num_tokens <= cur_capacity:
+            return True
+        need = (num_tokens - cur_capacity + self._block_size - 1) // self._block_size
+        ids = self._store.allocate(need)
+        if ids is None:
+            if not self._enable_prefix_cache:
+                return False
+            self._store.evict(need - self.num_free_blocks)
+            ids = self._store.allocate(need)
+            if ids is None:
+                return False
+        seq.append_blocks(
+            [NativeBlock(self._store, i, self._block_size) for i in ids]
+        )
+        return True
+
     def has_enough_blocks(self, num_blocks: int) -> bool:
         s = self._store.stats()
         if s["num_free"] >= num_blocks:
@@ -136,6 +156,14 @@ class NativeBlockManager:
                 seq.token_ids[: n_blocks * self._block_size],
                 [b.id for b in seq.blocks[:n_blocks]],
             )
+
+    def release_without_caching(self, seq: "Sequence") -> None:
+        """Free the sequence's blocks WITHOUT publishing to the prefix
+        cache — KV swap-out staged the contents to host memory, and the
+        swap-in must land in unshared blocks."""
+        for block in seq.blocks:
+            block.dec_ref()
+        seq.release_blocks()
 
     def deallocate(self, seq: "Sequence") -> None:
         self.cache_blocks_for(seq)

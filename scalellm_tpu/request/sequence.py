@@ -211,6 +211,12 @@ class Sequence:
         et = self.engine_type if engine_type is None else engine_type
         return self._num_kv_cache_tokens[et]
 
+    def restore_kv_tokens(self, num_tokens: int) -> None:
+        """Set the LLM-engine KV counter after a swap-in restored staged
+        pages (memory/kv_swap.py). Capacity must already cover it."""
+        assert num_tokens <= self.kv_cache_capacity
+        self._num_kv_cache_tokens[EngineType.LLM] = num_tokens
+
     def commit_kv_cache(self, num_tokens: int, engine_type: Optional[int] = None) -> None:
         """Record that KV for `num_tokens` more tokens is now materialized
         (reference: sequence.h:202 commit_kv_cache)."""

@@ -55,6 +55,11 @@ class ContinuousScheduler:
         self._engine = engine
         self._options = options
         self._block_manager = engine.block_manager
+        # KV swap-out preemption (memory/kv_swap.py): when the engine has a
+        # swapper, preempted sequences stage their pages in host memory and
+        # restore on reschedule instead of re-prefilling (the reference only
+        # drops + recomputes, continuous_scheduler.cpp:251-261).
+        self._swapper = getattr(engine, "kv_swapper", None)
         self._response_handler = response_handler or ResponseHandler(
             engine.tokenizer, threaded=False
         )
@@ -131,6 +136,8 @@ class ContinuousScheduler:
     def _finish_request(self, request: Request) -> None:
         for seq in request.sequences:
             self._block_manager.deallocate(seq)
+            if self._swapper is not None:
+                self._swapper.discard(seq)
         self._response_handler.on_request_finish(request)
         with self._pending_lock:
             self._pending -= 1
@@ -179,6 +186,16 @@ class ContinuousScheduler:
                     break
                 if seq.is_finished():
                     continue
+                if (
+                    self._swapper is not None
+                    and not seq.blocks
+                    and self._swapper.has_entry(seq)
+                ):
+                    # Preempted with staged KV: restore instead of
+                    # re-prefilling. On allocation failure the entry stays
+                    # staged and the sequence waits for the next round.
+                    if not self._swapper.swap_in(seq):
+                        continue
                 cached = seq.num_kv_cache_tokens()
                 uncached = seq.num_tokens - cached
                 if uncached <= 0:
@@ -249,9 +266,15 @@ class ContinuousScheduler:
         return self._block_manager.allocate_blocks_for(seq, num_tokens)
 
     def _preempt(self, request: Request) -> None:
-        """Release all KV for the request; it will re-prefill later (prefix
-        cache may restore most of it)."""
+        """Release all KV for the request. With a KV swapper the pages are
+        staged to host memory first (restored on reschedule); otherwise it
+        re-prefills later (prefix cache may restore most of it)."""
         for seq in request.sequences:
+            if self._swapper is not None and self._swapper.swap_out(seq):
+                # Staged pages replace the prefix-cache copy — skip
+                # publishing so swap-in lands in unshared blocks.
+                self._block_manager.release_without_caching(seq)
+                continue
             self._block_manager.deallocate(seq)
 
     # ---------------------------------------------------------------- output
