@@ -54,6 +54,7 @@ def server(tmp_path_factory):
     while time.time() < deadline:
         if proc.poll() is not None:
             out = proc.stdout.read().decode()
+            proc.wait()
             raise RuntimeError(f"server died:\n{out}")
         try:
             with urllib.request.urlopen(base + "/health", timeout=2) as r:
@@ -65,12 +66,15 @@ def server(tmp_path_factory):
     else:
         proc.kill()
         raise RuntimeError(f"server never became healthy: {last_err}")
-    yield base
-    proc.terminate()
     try:
-        proc.wait(timeout=10)
-    except subprocess.TimeoutExpired:
-        proc.kill()
+        yield base
+    finally:
+        # finally: a setup failure must not orphan the server subprocess
+        proc.terminate()
+        try:
+            proc.wait(timeout=10)
+        except subprocess.TimeoutExpired:
+            proc.kill()
 
 
 def _post(base, path, payload):

@@ -81,26 +81,32 @@ def gateway(tmp_path_factory):
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
     )
     base = f"http://127.0.0.1:{http_port}"
-    deadline = time.time() + 120
-    while time.time() < deadline:
-        for proc, name in ((server, "grpc server"), (gw, "gateway")):
-            if proc.poll() is not None:
-                raise RuntimeError(f"{name} died:\n{proc.stdout.read().decode()}")
-        try:
-            with urllib.request.urlopen(base + "/health", timeout=2) as r:
-                if r.status == 200:
-                    break
-        except Exception:
-            time.sleep(1.0)
-    else:
-        raise RuntimeError("gateway never became healthy")
-    yield base
-    for proc in (gw, server):
-        proc.terminate()
-        try:
-            proc.wait(timeout=10)
-        except subprocess.TimeoutExpired:
-            proc.kill()
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            for proc, name in ((server, "grpc server"), (gw, "gateway")):
+                if proc.poll() is not None:
+                    raise RuntimeError(
+                        f"{name} died:\n{proc.stdout.read().decode()}"
+                    )
+            try:
+                with urllib.request.urlopen(base + "/health", timeout=2) as r:
+                    if r.status == 200:
+                        break
+            except Exception:
+                time.sleep(1.0)
+        else:
+            raise RuntimeError("gateway never became healthy")
+        yield base
+    finally:
+        # try/finally so a setup failure can't orphan the subprocesses
+        # (a leaked server once wedged the shared TPU for 1.5h).
+        for proc in (gw, server):
+            proc.terminate()
+            try:
+                proc.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                proc.kill()
 
 
 def test_models_through_gateway(gateway):

@@ -51,13 +51,16 @@ def grpc_server(tmp_path_factory):
             break
         except grpc.FutureTimeoutError:
             pass
-    yield channel
-    channel.close()
-    proc.terminate()
     try:
-        proc.wait(timeout=10)
-    except subprocess.TimeoutExpired:
-        proc.kill()
+        yield channel
+    finally:
+        # finally: a setup failure must not orphan the server subprocess
+        channel.close()
+        proc.terminate()
+        try:
+            proc.wait(timeout=10)
+        except subprocess.TimeoutExpired:
+            proc.kill()
 
 
 def test_models_list(grpc_server):
