@@ -177,13 +177,26 @@ class Batch:
             seq = e.seq
             start = seq.num_kv_cache_tokens()
             end = start + e.num_tokens
-            ids = seq.token_ids[start:end]
-            token_ids[t : t + e.num_tokens] = ids
-            positions[t : t + e.num_tokens] = np.arange(start, end)
-            token_seg[t : t + e.num_tokens] = s
-            new_kv_slot_ids[t : t + e.num_tokens] = seq.kv_cache_slots(start, end)
+            bids = seq.block_ids_array()
+            bs = seq.blocks[0].size if seq.blocks else block_size
+            if e.num_tokens == 1:
+                # Decode fast path (profiled: the generic per-token arrays
+                # dominated prepare at large S).
+                token_ids[t] = seq.token_ids[start]
+                positions[t] = start
+                token_seg[t] = s
+                new_kv_slot_ids[t] = (
+                    int(bids[start // bs]) * bs + start % bs
+                )
+            else:
+                ids = seq.token_ids[start:end]
+                token_ids[t : t + e.num_tokens] = ids
+                positions[t : t + e.num_tokens] = np.arange(start, end)
+                token_seg[t : t + e.num_tokens] = s
+                new_kv_slot_ids[t : t + e.num_tokens] = seq.kv_slots_array(
+                    start, end
+                )
 
-            bids = seq.block_ids()
             block_tables[s, : len(bids)] = bids
             kv_lens[s] = end
             cu_q_lens[s + 1] = t + e.num_tokens

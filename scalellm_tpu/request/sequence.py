@@ -45,6 +45,7 @@ class Sequence:
         capacity: int = 0,
     ):
         self.seq_id = next(_seq_counter)
+        self._bids_np = None  # cached np.int32 block ids (batch-prep hot path)
         self.index = index  # index within the parent request (for `n`)
         self.prompt = prompt
         self._num_prompt_tokens = len(token_ids)
@@ -248,15 +249,39 @@ class Sequence:
             slots.append(block.id * block_size + pos % block_size)
         return slots
 
+    def kv_slots_array(self, start: int, end: int) -> "np.ndarray":
+        """Vectorized kv_cache_slots over the cached block-id array — the
+        batch-prep hot path (profiled: per-token Python loops dominated
+        prepare_model_inputs at large S)."""
+        import numpy as np
+
+        bids = self.block_ids_array()
+        bs = self.blocks[0].size
+        pos = np.arange(start, end, dtype=np.int32)
+        return bids[pos // bs] * bs + pos % bs
+
     def block_ids(self) -> List[int]:
         return [b.id for b in self.blocks]
 
+    def block_ids_array(self) -> "np.ndarray":
+        """Cached np.int32 view of block ids (rebuilt only after the block
+        list changes)."""
+        import numpy as np
+
+        if self._bids_np is None or len(self._bids_np) != len(self.blocks):
+            self._bids_np = np.asarray(
+                [b.id for b in self.blocks], dtype=np.int32
+            )
+        return self._bids_np
+
     def append_blocks(self, blocks: Seq[Block]) -> None:
         self.blocks.extend(blocks)
+        self._bids_np = None
 
     def release_blocks(self) -> None:
         """Free all blocks (keeps nothing cached). Resets KV counters."""
         self.blocks = []
+        self._bids_np = None
         self._num_kv_cache_tokens = [0, 0]
         self._shared_kv_tokens = 0
 
