@@ -16,10 +16,11 @@ attention itself runs in the ABSORBED formulation, i.e. MLA-as-MQA:
   scores = q̃·c_kv + q_pe·k_pe   with q̃ = q_nope @ W_UK  (per head)
   out    = softmax(scores)·c_kv @ W_UV
 where W_UK/W_UV are the two halves of kv_b. This folds the per-head K/V
-decompression into the query/output instead of the cache, so the same
-ragged paged attention kernel serves MLA with ONE shared kv head of
-lane-padded dim 640 — no bespoke attention kernel needed on TPU (the MXU
-eats the extra [H, nope]×[nope, R] absorb dots).
+decompression into the query/output instead of the cache. The cache is
+K-ONLY ([P, page, 1, 640] pages): V is literally K[:, :kv_lora_rank], so
+the attention ops read it back out of the K rows instead of storing V
+rows (ops/mla_attention.py — dedicated Pallas decode kernel + jnp
+prefill path; the TPU analog of the reference's sm80 MLA kernel).
 
 MoE: first_k_dense_replace dense layers then MoE layers with shared experts
 (added directly, no gate) and greedy or group-limited-greedy routing scaled
@@ -42,8 +43,8 @@ from scalellm_tpu.layers.activations import act_with_mul
 from scalellm_tpu.layers.norms import rms_norm
 from scalellm_tpu.layers.rope import apply_rope
 from scalellm_tpu.models.registry import ModelRegistry
-from scalellm_tpu.ops.attention import kernel_head_dim, ragged_paged_attention
-from scalellm_tpu.ops.kv_update import set_kv_cache
+from scalellm_tpu.ops.attention import kernel_head_dim
+from scalellm_tpu.ops.mla_attention import mla_paged_attention, set_latent_cache
 from scalellm_tpu.parallel.config import ParallelConfig
 
 
@@ -114,7 +115,7 @@ class MLADecoderModel:
     def __init__(self, args: ModelArgs, parallel: ParallelConfig = ParallelConfig(), attn_impl=None):
         self.args = args
         self.parallel = parallel
-        self.attn_impl = attn_impl or ragged_paged_attention
+        self.attn_impl = attn_impl or mla_paged_attention
         a = args
         tp = parallel.tp_size
         assert a.n_heads % tp == 0, "n_heads must divide tp_size"
@@ -254,9 +255,11 @@ class MLADecoderModel:
         return specs
 
     def kv_cache_shape(self, num_pages: int, page_size: int) -> Tuple[int, ...]:
-        # 2 combined heads (K=[c_kv|k_pe] even, V=[c_kv] odd) of latent dim.
+        # ONE K-only latent head per token ([c_kv | k_pe], lane-padded):
+        # V is the first kv_lora_rank lanes of K, so storing V rows would
+        # double the latent footprint for no information (ops/mla_attention).
         a = self.args
-        return (a.n_layers, num_pages, page_size, 2, self.kv_head_dim)
+        return (a.n_layers, num_pages, page_size, 1, self.kv_head_dim)
 
     def kv_cache_partition_spec(self) -> P:
         return P(None, None, None, None, None)
@@ -317,7 +320,7 @@ class MLADecoderModel:
         )[None, :]
         return jnp.cos(freqs) * mscale, jnp.sin(freqs) * mscale
 
-    def _attention(self, lp, h, mi, cos, sin, kvc):
+    def _attention(self, lp, h, mi, cos, sin, kvc, decode_only=False):
         """Absorbed MLA-as-MQA over the latent cache (see module docstring).
 
         Cache write: K = [c_kv | k_pe_roped], V = [c_kv | 0] (one shared
@@ -358,16 +361,15 @@ class MLADecoderModel:
             "thn,rhn->thr", q_nope, w_uk, preferred_element_type=jnp.float32
         ).astype(h.dtype)
 
-        # One shared latent kv head: K = [c_kv | k_pe], V = [c_kv | 0].
-        k_lat = jnp.concatenate([c_kv, k_pe], axis=-1)[:, None, :]  # [T,1,R+r]
-        k_lat = jnp.pad(k_lat, ((0, 0), (0, 0), (0, Dc - R - r)))
-        v_lat = jnp.pad(c_kv[:, None, :], ((0, 0), (0, 0), (0, Dc - R)))
+        # One shared K-ONLY latent head: K = [c_kv | k_pe] (V is read as
+        # K[:, :R] inside the attention op — half the cache of a K+V layout).
+        k_lat = jnp.concatenate([c_kv, k_pe], axis=-1)  # [T, R+r]
+        k_lat = jnp.pad(k_lat, ((0, 0), (0, Dc - R - r)))
         q_cat = jnp.concatenate([q_abs, q_pe], axis=-1)  # [T, H, R+r]
         q_cat = jnp.pad(q_cat, ((0, 0), (0, 0), (0, Dc - R - r)))
 
         kv_scale = a.kv_scale if self.kv_quant else None
-        kvc = set_kv_cache(kvc, k_lat, v_lat, mi.new_kv_slot_ids,
-                           k_scale=kv_scale, v_scale=kv_scale)
+        kvc = set_latent_cache(kvc, k_lat, mi.new_kv_slot_ids, scale=kv_scale)
         o_lat = self.attn_impl(
             q_cat,
             kvc,
@@ -376,9 +378,10 @@ class MLADecoderModel:
             mi.cu_q_lens,
             mi.num_seqs,
             sm_scale=self.sm_scale,
+            v_dim=R,
             k_scale=kv_scale,
-            v_scale=kv_scale,
-        )[..., :R]  # [T, H, R]
+            decode_only=decode_only,
+        )  # [T, H, R]
         o = jnp.einsum(
             "thr,rhv->thv", o_lat.astype(h.dtype), w_uv,
             preferred_element_type=jnp.float32,
@@ -473,7 +476,7 @@ class MLADecoderModel:
 
     def forward(
         self, params, kv_cache, mi: ModelInputs, all_hidden: bool = False,
-        decode_only: bool = False,  # MLA path: accepted, not yet specialized
+        decode_only: bool = False,  # routes to the Pallas MLA decode kernel
     ):
         a = self.args
         h = params["embed_tokens"][mi.token_ids]
@@ -484,7 +487,7 @@ class MLADecoderModel:
         def dense_layer(carry, xs):
             h = carry
             lp, kvc = xs
-            h, kvc = self._attention(lp, h, mi, cos, sin, kvc)
+            h, kvc = self._attention(lp, h, mi, cos, sin, kvc, decode_only)
             x = rms_norm(h, lp["post_norm"], a.rms_norm_eps)
             g = jnp.dot(x, lp["gate_proj"], preferred_element_type=jnp.float32)
             u = jnp.dot(x, lp["up_proj"], preferred_element_type=jnp.float32)
@@ -497,7 +500,7 @@ class MLADecoderModel:
         def moe_layer(carry, xs):
             h = carry
             lp, kvc = xs
-            h, kvc = self._attention(lp, h, mi, cos, sin, kvc)
+            h, kvc = self._attention(lp, h, mi, cos, sin, kvc, decode_only)
             x = rms_norm(h, lp["post_norm"], a.rms_norm_eps)
             m = self._moe_ffn(lp, x)
             if tp_axis is not None:

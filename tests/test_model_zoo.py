@@ -180,8 +180,8 @@ def test_deepseek_latent_cache_decode_matches_hf(tmp_path):
     page_size = 4
     n_pages = (len(full) + page_size - 1) // page_size + 1
     kv = jnp.zeros(model.kv_cache_shape(n_pages + 1, page_size), jnp.float32)
-    # latent cache: 2 combined heads (K/V), not 2*H
-    assert kv.shape[3] == 2
+    # latent cache: ONE K-only head (V = K[:, :kv_lora_rank]), not 2*H
+    assert kv.shape[3] == 1
 
     def mi_for(tokens, start):
         t = len(tokens)
