@@ -264,6 +264,212 @@ def mla_decode_attention(
     )(kv_lens, page_indices, q, k_pages)
 
 
+def _mla_prefill_kernel(
+    kv_lens_ref,  # i32[S]
+    page_indices_ref,  # i32[S, pages_per_seq]
+    cu_q_lens_ref,  # i32[S+1]
+    q_hbm_ref,  # [T, H, Dc] (ANY)
+    k_hbm_ref,  # [P, page_size, 1, Dc] (ANY)
+    o_hbm_ref,  # [T, H, v_dim] (ANY)
+    q_buf,  # VMEM [Bq, H, Dc]
+    k_bufs,  # VMEM [2, chunk_pages, page_size, 1, Dc]
+    o_buf,  # VMEM [Bq, H, v_dim]
+    q_sem,
+    k_sems,  # DMA [2]
+    o_sem,
+    *,
+    chunk_pages: int,
+    sm_scale: float,
+    v_dim: int,
+    k_scale: Optional[float],
+):
+    s, qb = pl.program_id(0), pl.program_id(1)
+    _, cp, page_size, _, Dc = k_bufs.shape
+    Bq, H, _ = q_buf.shape
+    C = cp * page_size
+    pages_per_seq = page_indices_ref.shape[1]
+
+    kv_len = kv_lens_ref[s]
+    q_start = cu_q_lens_ref[s]
+    q_len = cu_q_lens_ref[s + 1] - q_start
+    blk_start = qb * Bq  # first token of this q block, within the chunk
+    active = jnp.logical_and(blk_start < q_len, kv_len > 0)
+
+    @pl.when(active)
+    def _():
+        # Rows beyond q_len load/compute garbage but are masked and their
+        # outputs overwritten by the next sequence's rows or never read
+        # (padding region of the ragged batch).
+        row0 = q_start + blk_start
+        qc = pltpu.make_async_copy(
+            q_hbm_ref.at[pl.ds(row0, Bq)], q_buf, q_sem
+        )
+        qc.start()
+
+        # Absolute positions of this block's tokens.
+        pos0 = kv_len - q_len + blk_start
+        n_chunks = pl.cdiv(jnp.minimum(pos0 + Bq, kv_len), C)
+
+        def copies(chunk_idx, buf_idx):
+            out = []
+            base = chunk_idx * chunk_pages
+            for i in range(chunk_pages):
+                p = base + i
+                p = jax.lax.select(p < pages_per_seq, p, 0)
+                page = page_indices_ref[s, p]
+                out.append(
+                    pltpu.make_async_copy(
+                        k_hbm_ref.at[page], k_bufs.at[buf_idx, i],
+                        k_sems.at[buf_idx],
+                    )
+                )
+            return out
+
+        for c in copies(0, 0):
+            c.start()
+        qc.wait()
+        q = q_buf[:].astype(jnp.float32) * sm_scale  # [Bq, H, Dc]
+        qf = q.reshape(Bq * H, Dc).astype(jnp.bfloat16)
+        # Absolute position of each (token, head) row.
+        rowpos = pos0 + jax.lax.broadcasted_iota(
+            jnp.int32, (Bq * H, C), 0
+        ) // H
+
+        def chunk_step(j, carry):
+            m, l, acc = carry  # [Bq*H, 128] x2, [Bq*H, v_dim]
+            buf = j % 2
+
+            @pl.when(j + 1 < n_chunks)
+            def _():
+                for c in copies(j + 1, (j + 1) % 2):
+                    c.start()
+
+            for c in copies(0, buf):
+                c.wait()
+
+            k = k_bufs[buf].reshape(C, Dc)
+            if k_scale is not None:
+                k = k.astype(jnp.float32) * k_scale
+            k = k.astype(jnp.bfloat16)
+            sc = jax.lax.dot_general(
+                qf, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [Bq*H, C]
+            col = j * C + jax.lax.broadcasted_iota(
+                jnp.int32, (Bq * H, C), 1
+            )
+            sc = jnp.where(col > rowpos, MASK_VALUE, sc)  # causal
+            sc = jnp.where(col >= kv_len, MASK_VALUE, sc)
+
+            row_max = jnp.max(sc, axis=1, keepdims=True)
+            m2 = jnp.maximum(m, jnp.broadcast_to(row_max, m.shape))
+            p = jnp.exp(sc - m2[:, :1])
+            corr = jnp.exp(m - m2)
+            l2 = l * corr + jnp.broadcast_to(
+                jnp.sum(p, axis=1, keepdims=True), m.shape
+            )
+            pv = jax.lax.dot_general(
+                p.astype(jnp.bfloat16), k[:, :v_dim],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc2 = acc * corr[:, :1] + pv
+            return m2, l2, acc2
+
+        m0 = jnp.full((Bq * H, 128), MASK_VALUE, jnp.float32)
+        l0 = jnp.zeros((Bq * H, 128), jnp.float32)
+        a0 = jnp.zeros((Bq * H, v_dim), jnp.float32)
+        m, l, acc = jax.lax.fori_loop(0, n_chunks, chunk_step, (m0, l0, a0))
+        out = acc / jnp.maximum(l[:, :1], 1e-30)
+        o_buf[:] = out.reshape(Bq, H, v_dim).astype(o_buf.dtype)
+        oc = pltpu.make_async_copy(
+            o_buf, o_hbm_ref.at[pl.ds(row0, Bq)], o_sem
+        )
+        oc.start()
+        oc.wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "sm_scale", "v_dim", "k_scale", "block_q", "chunk_pages", "interpret",
+    ),
+)
+def mla_prefill_attention(
+    q: jnp.ndarray,  # [T, H, Dc] ragged mixed prefill/decode batch
+    k_pages: jnp.ndarray,  # [P, page_size, 1, Dc]
+    kv_lens: jnp.ndarray,  # i32[S]
+    page_indices: jnp.ndarray,  # i32[S, pages_per_seq]
+    cu_q_lens: jnp.ndarray,  # i32[S+1]
+    *,
+    sm_scale: float,
+    v_dim: int,
+    k_scale: Optional[float] = None,
+    block_q: int = 0,
+    chunk_pages: int = 0,
+    interpret: bool = False,
+) -> jnp.ndarray:  # [T, H, v_dim]
+    """Ragged MLA prefill kernel over the K-only latent cache: grid
+    (seq, q-block), causal flash accumulation over KV chunks. Rows beyond
+    a sequence's q_len are recomputed by the following sequence's blocks
+    or belong to ragged padding — both safe to overwrite."""
+    T, H, Dc = q.shape
+    P, page_size, one, Dck = k_pages.shape
+    assert Dc == Dck and one == 1 and v_dim % 128 == 0
+    S = kv_lens.shape[0]
+    pages_per_seq = page_indices.shape[1]
+    if not block_q:
+        block_q = max(1, 256 // H)
+    block_q = min(block_q, T)
+    if not chunk_pages:
+        chunk_pages = max(1, min(pages_per_seq, 128 // page_size))
+    n_qb = pl.cdiv(T, block_q)
+
+    kernel = functools.partial(
+        _mla_prefill_kernel,
+        chunk_pages=chunk_pages,
+        sm_scale=sm_scale,
+        v_dim=v_dim,
+        k_scale=k_scale,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(S, n_qb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, H, Dc), q.dtype),
+            pltpu.VMEM((2, chunk_pages, page_size, 1, Dc), k_pages.dtype),
+            pltpu.VMEM((block_q, H, v_dim), q.dtype),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    # Pad T so every q block's dynamic slice stays in bounds.
+    T_pad = n_qb * block_q
+    q_in = jnp.pad(q, ((0, T_pad - T), (0, 0), (0, 0))) if T_pad > T else q
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((T_pad, H, v_dim), q.dtype),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * H * (Dc + v_dim) * pages_per_seq * page_size,
+            bytes_accessed=S * pages_per_seq * page_size * Dc
+            * k_pages.dtype.itemsize + T * H * Dc * 4,
+            transcendentals=T * H * pages_per_seq * page_size,
+        ),
+        interpret=interpret,
+    )(kv_lens, page_indices, cu_q_lens, q_in, k_pages)
+    return out[:T]
+
+
 def mla_paged_attention(
     q: jnp.ndarray,  # [T, H, Dc]
     k_pages: jnp.ndarray,  # [P, page_size, 1, Dc]
@@ -278,22 +484,28 @@ def mla_paged_attention(
     decode_only: bool = False,
     backend: Optional[str] = None,
 ) -> jnp.ndarray:
-    """Dispatcher: decode-only TPU batches hit the Pallas MLA kernel; mixed
-    prefill/decode and CPU go through the vectorized jnp path (prefill is
-    MXU-bound — the gather's extra HBM traffic is hidden by compute)."""
+    """Dispatcher: TPU decode-only batches hit the Pallas decode kernel,
+    TPU mixed prefill/decode the Pallas ragged prefill kernel; CPU uses
+    the vectorized jnp reference (which gathers [T, KV, Dc] — test-sized
+    only)."""
     if backend is None:
         from scalellm_tpu.ops.attention import _default_backend
 
         backend = _default_backend()
-    if backend == "tpu" and decode_only:
-        S = kv_lens.shape[0]
-        out = mla_decode_attention(
-            q[:S], k_pages, kv_lens, page_indices,
+    if backend == "tpu" and v_dim % 128 == 0:
+        if decode_only:
+            S = kv_lens.shape[0]
+            out = mla_decode_attention(
+                q[:S], k_pages, kv_lens, page_indices,
+                sm_scale=sm_scale, v_dim=v_dim, k_scale=k_scale,
+            )
+            if q.shape[0] > S:
+                out = jnp.pad(out, ((0, q.shape[0] - S), (0, 0), (0, 0)))
+            return out
+        return mla_prefill_attention(
+            q, k_pages, kv_lens, page_indices, cu_q_lens,
             sm_scale=sm_scale, v_dim=v_dim, k_scale=k_scale,
         )
-        if q.shape[0] > S:
-            out = jnp.pad(out, ((0, q.shape[0] - S), (0, 0), (0, 0)))
-        return out
     return ref_mla_paged_attention(
         q, k_pages, kv_lens, page_indices, cu_q_lens, num_seqs,
         sm_scale=sm_scale, v_dim=v_dim, k_scale=k_scale,

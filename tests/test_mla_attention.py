@@ -109,3 +109,31 @@ def test_int8_latent_cache_roundtrip():
     )
     want = _brute(q[0], rows[0], v_dim, 0.1, 10)
     np.testing.assert_allclose(got[0], want, rtol=8e-2, atol=8e-2)
+
+
+def test_prefill_kernel_vs_ref():
+    from scalellm_tpu.ops.mla_attention import mla_prefill_attention
+
+    rng = np.random.default_rng(5)
+    S, H, Dc, ps, pps, v_dim = 3, 4, 256, 4, 8, 128
+    kv_lens = [20, 11, 0]
+    q_lens = [20, 3, 0]  # full prefill + chunked tail + padded seq
+    T = 32  # padded ragged batch (sum q_lens = 23)
+    _, pages, kl, pi, rows = _setup(rng, S, H, Dc, ps, pps, kv_lens)
+    q = (rng.standard_normal((T, H, Dc)) * 0.2).astype(np.float32)
+    cu = np.asarray([0, 20, 23, 23], np.int32)
+    got = np.asarray(
+        mla_prefill_attention(
+            jnp.asarray(q), jnp.asarray(pages), jnp.asarray(kl),
+            jnp.asarray(pi), jnp.asarray(cu),
+            sm_scale=0.13, v_dim=v_dim, block_q=8, interpret=True,
+        )
+    )
+    want = np.asarray(
+        ref_mla_paged_attention(
+            jnp.asarray(q), jnp.asarray(pages), jnp.asarray(kl),
+            jnp.asarray(pi), jnp.asarray(cu), jnp.asarray([2], jnp.int32),
+            sm_scale=0.13, v_dim=v_dim,
+        )
+    )
+    np.testing.assert_allclose(got[:23], want[:23], rtol=2e-2, atol=2e-2)
