@@ -163,6 +163,23 @@ class Batch:
         bias_ids = np.zeros((S, max(B, 1)), dtype=np.int32)
         bias_vals = np.zeros((S, max(B, 1)), dtype=np.float32)
 
+        # Guided-decoding masks: W = packed words (ceil(V/32)) when any
+        # sequence is constrained this step, else 1 (sampler skips).
+        # Unconstrained rows (incl. padding rows) are all-ones.
+        W = 1
+        guided_entries = [
+            (s, e.seq.guided)
+            for s, e in enumerate(self.entries)
+            if e.seq.guided is not None and not e.seq.guided.finished
+        ]
+        if guided_entries:
+            W = guided_entries[0][1].fsm.n_words
+        allowed_mask = np.full((S, W), 0xFFFFFFFF, dtype=np.uint32)
+        for s, g in guided_entries:
+            row = g.mask()
+            if row is not None:
+                allowed_mask[s] = row
+
         # Prompt-logprob scoring (SamplingParams.prompt_logprobs): targets[t]
         # is the NEXT prompt token for prefill position t; stays 0 (ignored)
         # elsewhere. Only set while a requesting sequence still has prompt
@@ -265,6 +282,7 @@ class Batch:
             unique_token_counts=unique_counts,
             bias_token_ids=bias_ids,
             bias_values=bias_vals,
+            allowed_mask=allowed_mask,
             seeds=seeds,
         )
         return mi, si, needs_sample

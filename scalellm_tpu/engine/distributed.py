@@ -32,7 +32,8 @@ from scalellm_tpu.parallel import multihost
 
 logger = logging.getLogger(__name__)
 
-# header: [running_flag, T, S, MAXP, U, B(logit-bias width), decode_only, reserved]
+# header: [running_flag, T, S, MAXP, U, B(logit-bias width), decode_only,
+#          W(guided-mask width)]
 _HEADER_LEN = 8
 _STOP = -1
 
@@ -48,6 +49,7 @@ def _header_of(
     h[4] = si.unique_token_ids.shape[1]
     h[5] = si.bias_token_ids.shape[1]
     h[6] = int(decode_only)
+    h[7] = si.allowed_mask.shape[1]
     return h
 
 
@@ -77,6 +79,7 @@ def _placeholders(h: np.ndarray) -> Tuple[ModelInputs, SamplingInputs]:
         unique_token_counts=np.zeros((S, U), np.int32),
         bias_token_ids=np.zeros((S, B), np.int32),
         bias_values=np.zeros((S, B), np.float32),
+        allowed_mask=np.zeros((S, max(int(h[7]), 1)), np.uint32),
         seeds=np.zeros(S, np.uint32),
     )
     return mi, si

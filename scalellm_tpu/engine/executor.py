@@ -269,6 +269,7 @@ class Executor:
             unique_token_counts=replicated,
             bias_token_ids=replicated,
             bias_values=replicated,
+            allowed_mask=replicated,
             seeds=replicated,
         )
         out_specs = (
@@ -531,6 +532,7 @@ class Executor:
                     unique_token_counts=np.zeros((S, 1), np.int32),
                     bias_token_ids=np.zeros((S, 1), np.int32),
                     bias_values=np.zeros((S, 1), np.float32),
+                    allowed_mask=np.full((S, 1), 0xFFFFFFFF, np.uint32),
                     seeds=np.zeros(S, np.uint32),
                 )
                 self.execute(mi, si, decode_only=decode_only)

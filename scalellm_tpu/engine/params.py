@@ -64,6 +64,11 @@ class SamplingInputs:
     # a zero scatter-add is a no-op). B is 1 when no sequence uses bias.
     bias_token_ids: jnp.ndarray
     bias_values: jnp.ndarray
+    # [S, W] packed allowed-token bitmask (guided decoding; token v →
+    # word v>>5, bit v&31). W == 1 means "no constraint this step" — the
+    # sampler skips the mask entirely (static shape check at trace time).
+    # Unconstrained rows in a constrained batch are all-ones.
+    allowed_mask: jnp.ndarray
     # [S] PRNG seed per sequence step
     seeds: jnp.ndarray
 

@@ -126,6 +126,11 @@ class LLMHandler:
         self._max_context_len = options.max_context_len or (
             self.model_args.max_position_embeddings
         )
+        # Guided-decoding FSM cache (constrained/): compiled per
+        # (constraint, eos-set), shared across requests + handler threads.
+        from scalellm_tpu.constrained.guided import FsmCache
+
+        self._fsm_cache = FsmCache()
 
     # ------------------------------------------------------------- scheduling
 
@@ -190,6 +195,31 @@ class LLMHandler:
                     "prompt + max_tokens exceeds engine limit",
                 )
             stopping = self._build_stopping_criteria(sp, len(prompt_tokens))
+            guided_fsm = None
+            if sp.has_guided:
+                if self.options.num_speculative_tokens > 0:
+                    raise ValidationError(
+                        StatusCode.INVALID_ARGUMENT,
+                        "guided decoding is not supported with speculative "
+                        "decoding (draft proposals bypass the grammar mask)",
+                    )
+                from scalellm_tpu.constrained.guided import constraint_regex
+
+                regex = constraint_regex(sp)
+                eos_ids = tuple(
+                    {self.model_args.eos_token_id}
+                    | set(self.model_args.stop_token_ids)
+                    | set(sp.stop_token_ids or [])
+                )
+                try:
+                    guided_fsm = self._fsm_cache.get(
+                        regex, self.tokenizer, eos_ids
+                    )
+                except ValueError as e:
+                    raise ValidationError(
+                        StatusCode.INVALID_ARGUMENT,
+                        f"invalid guided constraint: {e}",
+                    )
             request = Request(
                 prompt=prompt,
                 prompt_tokens=prompt_tokens,
@@ -199,6 +229,7 @@ class LLMHandler:
                 stream=stream,
                 priority=priority,
                 enable_prefix_cache=self.options.enable_prefix_cache,
+                guided_fsm=guided_fsm,
             )
             if not self.scheduler.schedule(request):
                 raise ValidationError(

@@ -51,7 +51,9 @@ class Request:
         priority: Priority = Priority.NORMAL,
         request_id: Optional[str] = None,
         enable_prefix_cache: bool = True,
+        guided_fsm=None,  # Optional[constrained.TokenFsm], shared by sequences
     ):
+        self.guided_fsm = guided_fsm
         self.id = request_id or _gen_request_id()
         self.prompt = prompt
         self.prompt_tokens = list(prompt_tokens)
@@ -79,6 +81,11 @@ class Request:
             self.sequences.append(self._make_sequence(i))
 
     def _make_sequence(self, index: int) -> Sequence:
+        guided = None
+        if self.guided_fsm is not None:
+            from scalellm_tpu.constrained.tokenmap import GuidedState
+
+            guided = GuidedState(self.guided_fsm)
         seq = Sequence(
             index=index,
             token_ids=self.prompt_tokens,
@@ -86,6 +93,7 @@ class Request:
             stopping_criteria=self.stopping_criteria,
             prompt=self.prompt,
             echo=self.sampling_params.echo,
+            guided=guided,
         )
         seq.request = self  # backref for O(1) scheduler lookups
         return seq

@@ -43,7 +43,9 @@ class Sequence:
         prompt: str = "",
         echo: bool = False,
         capacity: int = 0,
+        guided=None,  # Optional[constrained.GuidedState] — one per sequence
     ):
+        self.guided = guided
         self.seq_id = next(_seq_counter)
         self._bids_np = None  # cached np.int32 block ids (batch-prep hot path)
         self.index = index  # index within the parent request (for `n`)
@@ -136,6 +138,8 @@ class Sequence:
         self._token_ids.append(token_id)
         self._token_counts[token_id] = self._token_counts.get(token_id, 0) + 1
         self._finish_state_valid = False
+        if self.guided is not None:
+            self.guided.advance(token_id)
         if logprob is not None or self.sampling_params.logprobs:
             self.logprobs.append(logprob)
         now = time.monotonic()
@@ -292,6 +296,11 @@ class Sequence:
             reason, hide = self.stopping_criteria.check_finished(
                 self._token_ids, self._num_prompt_tokens
             )
+            if reason == FinishReason.NONE and self.guided is not None:
+                # Constraint complete (EOS-equivalent) or token-level dead
+                # end (no vocab token matches any continuation): stop.
+                if self.guided.finished or self.guided.exhausted():
+                    reason, hide = FinishReason.STOP, None
             self._finish_reason = reason
             self._num_hidden_tail_tokens = hide or 0
             self._finish_state_valid = True

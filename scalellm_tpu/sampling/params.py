@@ -45,6 +45,15 @@ class SamplingParams:
     # values in [-100, 100]; -100 effectively bans a token). Applied to the
     # raw logits before penalties/temperature.
     logit_bias: Optional[Dict[int, float]] = None
+    # Guided (grammar-constrained) decoding — at most one may be set.
+    # Capability extension beyond the reference engine (vLLM-style).
+    # Regex (full-match) the generated text must follow.
+    guided_regex: Optional[str] = None
+    # JSON Schema (dict or JSON string); the literal "object" means any
+    # JSON object (OpenAI response_format={"type": "json_object"}).
+    guided_json: "Optional[object]" = None
+    # Output must be exactly one of these strings.
+    guided_choice: Optional[List[str]] = None
 
     def __post_init__(self):
         if self.best_of is None:
@@ -95,3 +104,21 @@ class SamplingParams:
                     bad("logit_bias keys must be non-negative token ids")
                 if not -100.0 <= float(b) <= 100.0:
                     bad("logit_bias values must be in [-100, 100]")
+        n_guided = sum(
+            x is not None and x != ""
+            for x in (self.guided_regex, self.guided_json, self.guided_choice)
+        )
+        if n_guided > 1:
+            bad("at most one of guided_regex/guided_json/guided_choice")
+        if self.guided_choice is not None and (
+            not self.guided_choice
+            or not all(isinstance(c, str) and c for c in self.guided_choice)
+        ):
+            bad("guided_choice must be a non-empty list of non-empty strings")
+
+    @property
+    def has_guided(self) -> bool:
+        return any(
+            x is not None and x != ""
+            for x in (self.guided_regex, self.guided_json, self.guided_choice)
+        )

@@ -87,6 +87,27 @@ def apply_logit_bias(
     )
 
 
+def apply_allowed_mask(
+    logits: jnp.ndarray,  # [S, V] f32
+    allowed_mask: jnp.ndarray,  # [S, W] uint32 packed bits (token v: word
+    # v>>5, bit v&31); all-ones rows are unconstrained
+) -> jnp.ndarray:
+    """Guided-decoding mask: tokens with a 0 bit get -inf (constrained/).
+
+    The device-side unpack is a [S, V] gather from [S, W] plus a shift —
+    trivially fused by XLA; no host-side [S, V] bool tensor ever exists.
+    """
+    V = logits.shape[-1]
+    W = allowed_mask.shape[1]
+    v = jnp.arange(V, dtype=jnp.int32)
+    words = allowed_mask[:, jnp.minimum(v >> 5, W - 1)]  # [S, V] uint32
+    bits = (words >> (v & 31).astype(jnp.uint32)) & jnp.uint32(1)
+    # Model vocab may be padded beyond the tokenizer vocab (mask width):
+    # ids past the mask are always banned.
+    bits = jnp.where(v < W * 32, bits, 0)
+    return jnp.where(bits == 1, logits, _NEG_INF)
+
+
 def apply_temperature(logits: jnp.ndarray, temperatures: jnp.ndarray) -> jnp.ndarray:
     """Scale by 1/T; T==0 (greedy) is passed through unscaled — greedy argmax
     is temperature-invariant (reference: logits_processor temperature)."""
@@ -171,6 +192,8 @@ def process_logits(logits: jnp.ndarray, si: SamplingInputs) -> jnp.ndarray:
         lambda l: l,
         logits,
     )
+    if si.allowed_mask.shape[1] > 1:  # static: retraced per mask width
+        logits = apply_allowed_mask(logits, si.allowed_mask)
     logits = apply_temperature(logits, si.temperatures)
     need_filter = jnp.any(si.top_ks > 0) | jnp.any(si.top_ps < 1.0)
     logits = jax.lax.cond(

@@ -52,6 +52,41 @@ def _parse_logit_bias(d: Dict[str, Any]) -> Optional[Dict[int, float]]:
     return out or None
 
 
+def _parse_guided(d: Dict[str, Any]) -> Dict[str, Any]:
+    """Guided-decoding fields: OpenAI response_format plus the vLLM-style
+    guided_regex / guided_json / guided_choice extensions."""
+    out: Dict[str, Any] = {
+        "guided_regex": None, "guided_json": None, "guided_choice": None,
+    }
+    rf = d.get("response_format")
+    if rf is not None:
+        if not isinstance(rf, dict) or "type" not in rf:
+            _bad("response_format must be an object with a 'type'")
+        t = rf["type"]
+        if t == "json_object":
+            out["guided_json"] = "object"
+        elif t == "json_schema":
+            js = rf.get("json_schema")
+            if not isinstance(js, dict):
+                _bad("response_format json_schema requires a 'json_schema' object")
+            out["guided_json"] = js.get("schema", js)
+        elif t != "text":
+            _bad(f"unsupported response_format type {t!r}")
+    if d.get("guided_regex") is not None:
+        out["guided_regex"] = _get(d, "guided_regex", str)
+    if d.get("guided_json") is not None:
+        gj = d["guided_json"]
+        if not isinstance(gj, (dict, str)):
+            _bad("guided_json must be a schema object or JSON string")
+        out["guided_json"] = gj
+    if d.get("guided_choice") is not None:
+        gc = d["guided_choice"]
+        if not isinstance(gc, list) or not all(isinstance(c, str) for c in gc):
+            _bad("guided_choice must be a list of strings")
+        out["guided_choice"] = gc
+    return out
+
+
 @dataclass
 class CompletionRequest:
     """POST /v1/completions body (reference: api_protocol.py CompletionRequest)."""
@@ -78,6 +113,9 @@ class CompletionRequest:
     skip_special_tokens: bool = True
     priority: str = "normal"  # "high" | "normal" | "low"
     logit_bias: Optional[Dict[int, float]] = None
+    guided_regex: Optional[str] = None
+    guided_json: Optional[Any] = None
+    guided_choice: Optional[List[str]] = None
 
     @classmethod
     def from_json(cls, d: Dict[str, Any]) -> "CompletionRequest":
@@ -115,6 +153,7 @@ class CompletionRequest:
             skip_special_tokens=_get(d, "skip_special_tokens", bool, True),
             priority=_get(d, "priority", str, "normal"),
             logit_bias=_parse_logit_bias(d),
+            **_parse_guided(d),
         )
 
     def to_priority(self):
@@ -144,6 +183,9 @@ class CompletionRequest:
             stop_token_ids=self.stop_token_ids,
             seed=self.seed,
             logit_bias=self.logit_bias,
+            guided_regex=self.guided_regex,
+            guided_json=self.guided_json,
+            guided_choice=self.guided_choice,
             # OpenAI: echo=True with logprobs=N also returns logprobs of
             # the prompt tokens (with N alternatives per position).
             prompt_logprobs=self.logprobs
@@ -179,6 +221,9 @@ class ChatCompletionRequest:
     skip_special_tokens: bool = True
     priority: str = "normal"
     logit_bias: Optional[Dict[int, float]] = None
+    guided_regex: Optional[str] = None
+    guided_json: Optional[Any] = None
+    guided_choice: Optional[List[str]] = None
 
     @classmethod
     def from_json(cls, d: Dict[str, Any]) -> "ChatCompletionRequest":
@@ -215,6 +260,7 @@ class ChatCompletionRequest:
             skip_special_tokens=_get(d, "skip_special_tokens", bool, True),
             priority=_get(d, "priority", str, "normal"),
             logit_bias=_parse_logit_bias(d),
+            **_parse_guided(d),
         )
 
     def to_priority(self):
@@ -242,6 +288,9 @@ class ChatCompletionRequest:
             stop_token_ids=self.stop_token_ids,
             seed=self.seed,
             logit_bias=self.logit_bias,
+            guided_regex=self.guided_regex,
+            guided_json=self.guided_json,
+            guided_choice=self.guided_choice,
         )
 
 

@@ -76,6 +76,13 @@ def _sampling_pb(body: Union[CompletionRequest, ChatCompletionRequest]) -> llm_p
         sp.stop_token_ids.append(t)
     for tid, bias in (body.logit_bias or {}).items():
         sp.logit_bias[tid] = bias
+    if body.guided_regex is not None:
+        sp.guided_regex = body.guided_regex
+    if body.guided_json is not None:
+        gj = body.guided_json
+        sp.guided_json = gj if isinstance(gj, str) else json.dumps(gj)
+    for c in body.guided_choice or []:
+        sp.guided_choice.append(c)
     return sp
 
 

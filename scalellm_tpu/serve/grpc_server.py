@@ -71,6 +71,12 @@ def _to_sampling_params(pb: llm_pb2.SamplingParams) -> SamplingParams:
         sp.seed = pb.seed
     if pb.logit_bias:
         sp.logit_bias = {int(k): float(v) for k, v in pb.logit_bias.items()}
+    if pb.HasField("guided_regex"):
+        sp.guided_regex = pb.guided_regex
+    if pb.HasField("guided_json"):
+        sp.guided_json = pb.guided_json
+    if pb.guided_choice:
+        sp.guided_choice = list(pb.guided_choice)
     if sp.best_of is None:
         sp.best_of = sp.n
     return sp

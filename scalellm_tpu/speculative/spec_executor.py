@@ -153,7 +153,8 @@ class SpecExecutor:
         si_specs = jax.tree_util.tree_map(lambda _: rep, SamplingInputs(
             temperatures=0, top_ks=0, top_ps=0, frequency_penalties=0,
             presence_penalties=0, repetition_penalties=0, unique_token_ids=0,
-            unique_token_counts=0, bias_token_ids=0, bias_values=0, seeds=0,
+            unique_token_counts=0, bias_token_ids=0, bias_values=0,
+            allowed_mask=0, seeds=0,
         ))
         sharded = shard_map(
             spec_fn,

@@ -222,6 +222,7 @@ class SpeculativeEngine:
             unique_token_counts=np.zeros((S, 1), np.int32),
             bias_token_ids=np.zeros((S, 1), np.int32),
             bias_values=np.zeros((S, 1), np.float32),
+            allowed_mask=np.full((S, 1), 0xFFFFFFFF, np.uint32),
             seeds=seeds,
         )
 

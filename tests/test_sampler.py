@@ -22,6 +22,7 @@ def make_si(S, V, **kw):
         unique_token_counts=np.zeros((S, U), np.int32),
         bias_token_ids=np.zeros((S, U), np.int32),
         bias_values=np.zeros((S, U), np.float32),
+        allowed_mask=np.full((S, 1), 0xFFFFFFFF, np.uint32),
         seeds=np.arange(S, dtype=np.uint32),
     )
     for k, v in kw.items():
