@@ -153,10 +153,12 @@ class LLMHandler:
         priority: Priority = Priority.NORMAL,
         stream: bool = False,
         callback: OnOutput = lambda out: True,
+        tools=None,
     ) -> None:
         """(reference: llm_handler.cpp:266 schedule_chat_async)"""
         self._pool.submit(
-            self._handle, None, list(messages), sp, priority, stream, callback
+            self._handle, None, list(messages), sp, priority, stream, callback,
+            tools,
         )
 
     def schedule_batch_async(
@@ -174,12 +176,14 @@ class LLMHandler:
             cb = callbacks[i] if callbacks else (lambda out: True)
             self.schedule_async(p, sp, priority, stream, cb)
 
-    def _handle(self, prompt, messages, sp, priority, stream, callback) -> None:
+    def _handle(
+        self, prompt, messages, sp, priority, stream, callback, tools=None
+    ) -> None:
         t0 = time.monotonic()
         try:
             sp.verify()
             if messages is not None:
-                prompt = self.apply_chat_template(messages)
+                prompt = self.apply_chat_template(messages, tools=tools)
             prompt_tokens = self.tokenizer.encode(prompt)
             if not prompt_tokens:
                 raise ValidationError(StatusCode.INVALID_ARGUMENT, "empty prompt")
@@ -193,6 +197,15 @@ class LLMHandler:
                 raise ValidationError(
                     StatusCode.INVALID_ARGUMENT,
                     "prompt + max_tokens exceeds engine limit",
+                )
+            kv_capacity = self.scheduler.max_seq_tokens
+            if len(prompt_tokens) + sp.max_tokens > kv_capacity:
+                # Would never fit even with every other sequence preempted:
+                # fail now rather than park it in the wait queue forever.
+                raise ValidationError(
+                    StatusCode.RESOURCE_EXHAUSTED,
+                    f"prompt + max_tokens ({len(prompt_tokens) + sp.max_tokens}"
+                    f" tokens) exceeds KV cache capacity ({kv_capacity})",
                 )
             stopping = self._build_stopping_criteria(sp, len(prompt_tokens))
             guided_fsm = None
@@ -278,7 +291,7 @@ class LLMHandler:
 
     # ------------------------------------------------------------- templates
 
-    def apply_chat_template(self, messages: Sequence[Message]) -> str:
+    def apply_chat_template(self, messages: Sequence[Message], tools=None) -> str:
         """Jinja template from tokenizer_config when present, else the coded
         per-model template (reference: chat_template.h:20; the reference only
         executes coded templates — jinja is a capability superset)."""
@@ -286,6 +299,7 @@ class LLMHandler:
             messages,
             jinja_template=getattr(self.tokenizer, "chat_template", None),
             model_type=self.model_args.model_type,
+            tools=tools,
         )
 
     # ------------------------------------------------------------- encode/decode

@@ -161,11 +161,12 @@ class AsyncLLMEngine:
         sampling_params: Optional[SamplingParams] = None,
         priority: Priority = Priority.NORMAL,
         stream: bool = False,
+        tools=None,
     ) -> OutputAsyncStream:
         sp = sampling_params or SamplingParams()
         out_stream = OutputAsyncStream(asyncio.get_running_loop())
         self._handler.schedule_chat_async(
-            messages, sp, priority, stream, out_stream.put
+            messages, sp, priority, stream, out_stream.put, tools=tools
         )
         return out_stream
 
@@ -187,11 +188,12 @@ class AsyncLLMEngine:
         sampling_params: Optional[SamplingParams] = None,
         priority: Priority = Priority.NORMAL,
         stream: bool = False,
+        tools=None,
     ) -> OutputStream:
         sp = sampling_params or SamplingParams()
         out_stream = OutputStream()
         self._handler.schedule_chat_async(
-            messages, sp, priority, stream, out_stream.put
+            messages, sp, priority, stream, out_stream.put, tools=tools
         )
         return out_stream
 

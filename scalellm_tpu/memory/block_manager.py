@@ -61,6 +61,13 @@ class BlockManager:
         total = self._allocator.total_blocks
         return self._allocator.num_used_blocks / total if total else 0.0
 
+    @property
+    def max_seq_tokens(self) -> int:
+        """Most KV slots a single sequence can ever hold (all usable blocks).
+        Requests needing more can never be scheduled — reject them upfront
+        instead of leaving them in the wait queue forever."""
+        return (self._allocator.total_blocks - 1) * self._block_size
+
     # ------------------------------------------------------------- allocate
 
     def allocate_blocks_for(self, seq: "Sequence", num_tokens: int) -> bool:

@@ -76,6 +76,12 @@ class NativeBlockManager:
         return self._store.stats()["cache_blocks"]
 
     @property
+    def max_seq_tokens(self) -> int:
+        """Most KV slots one sequence can ever hold (mirrors BlockManager:
+        all blocks minus the reserved padding block)."""
+        return (self._options.num_blocks - 1) * self._options.block_size
+
+    @property
     def kv_cache_utilization(self) -> float:
         s = self._store.stats()
         return s["num_used"] / s["total"] if s["total"] else 0.0

@@ -71,6 +71,11 @@ class ContinuousScheduler:
         self._pending = 0
         self._pending_lock = threading.Lock()
 
+    @property
+    def max_seq_tokens(self) -> int:
+        """KV capacity available to a single sequence (see BlockManager)."""
+        return self._block_manager.max_seq_tokens
+
     # ---------------------------------------------------------------- intake
 
     def schedule(self, request: Request) -> bool:

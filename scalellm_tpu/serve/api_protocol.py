@@ -224,6 +224,8 @@ class ChatCompletionRequest:
     guided_regex: Optional[str] = None
     guided_json: Optional[Any] = None
     guided_choice: Optional[List[str]] = None
+    tools: Optional[List[Dict[str, Any]]] = None
+    tool_choice: Any = "auto"
 
     @classmethod
     def from_json(cls, d: Dict[str, Any]) -> "ChatCompletionRequest":
@@ -233,8 +235,25 @@ class ChatCompletionRequest:
         if not isinstance(messages, list) or not messages:
             _bad("messages must be a non-empty list")
         for m in messages:
-            if not isinstance(m, dict) or "role" not in m or "content" not in m:
+            if not isinstance(m, dict) or "role" not in m:
                 _bad("each message needs 'role' and 'content'")
+            # assistant tool-call turns may carry content: null; everything
+            # else needs content (OpenAI semantics)
+            if m.get("content") is None and not m.get("tool_calls"):
+                _bad("each message needs 'role' and 'content'")
+        tools = d.get("tools")
+        tool_choice = d.get("tool_choice")
+        try:
+            from scalellm_tpu.utils.tools import (
+                validate_tool_choice,
+                validate_tools,
+            )
+
+            if tools is not None:
+                tools = validate_tools(tools)
+            tool_choice = validate_tool_choice(tool_choice, tools)
+        except ValueError as e:
+            _bad(str(e))
         stop = d.get("stop")
         if isinstance(stop, str):
             stop = [stop]
@@ -260,6 +279,8 @@ class ChatCompletionRequest:
             skip_special_tokens=_get(d, "skip_special_tokens", bool, True),
             priority=_get(d, "priority", str, "normal"),
             logit_bias=_parse_logit_bias(d),
+            tools=tools,
+            tool_choice=tool_choice,
             **_parse_guided(d),
         )
 
@@ -270,7 +291,30 @@ class ChatCompletionRequest:
             self.priority, Priority.NORMAL
         )
 
+    @property
+    def tools_active(self) -> bool:
+        return bool(self.tools) and self.tool_choice != "none"
+
+    def _forced_tool_regex(self) -> Optional[str]:
+        """Guided constraint when tool_choice forces a call."""
+        if not self.tools_active:
+            return None
+        from scalellm_tpu.utils.tools import guided_regex_for_tools
+
+        if self.tool_choice == "required":
+            return guided_regex_for_tools(self.tools)
+        if isinstance(self.tool_choice, dict):
+            return guided_regex_for_tools(
+                self.tools, self.tool_choice["function"]["name"]
+            )
+        return None
+
     def to_sampling_params(self) -> SamplingParams:
+        forced = self._forced_tool_regex()
+        if forced is not None and (
+            self.guided_regex or self.guided_json or self.guided_choice
+        ):
+            _bad("tool_choice forcing cannot be combined with guided_* params")
         return SamplingParams(
             max_tokens=self.max_tokens,
             n=self.n,
@@ -288,7 +332,7 @@ class ChatCompletionRequest:
             stop_token_ids=self.stop_token_ids,
             seed=self.seed,
             logit_bias=self.logit_bias,
-            guided_regex=self.guided_regex,
+            guided_regex=forced or self.guided_regex,
             guided_json=self.guided_json,
             guided_choice=self.guided_choice,
         )

@@ -1,4 +1,5 @@
-"""/v1/chat/completions handlers (reference: scalellm/serve/chat_handler.py)."""
+"""/v1/chat/completions handlers (reference: scalellm/serve/chat_handler.py;
+tool calling is a capability extension beyond the reference)."""
 
 from __future__ import annotations
 
@@ -9,10 +10,19 @@ from scalellm_tpu.llm_engine import AsyncLLMEngine
 from scalellm_tpu.serve.api_protocol import ChatCompletionRequest, now
 from scalellm_tpu.serve.http import Response, SSEResponse
 from scalellm_tpu.utils.chat import Message
+from scalellm_tpu.utils.tools import (
+    might_open_tool_call,
+    parse_tool_calls,
+    tool_call_opener_pos,
+)
 
 
 def _messages(req: ChatCompletionRequest):
-    return [Message(m["role"], m["content"]) for m in req.messages]
+    return [Message.from_dict(m) for m in req.messages]
+
+
+def _req_tools(req: ChatCompletionRequest):
+    return req.tools if req.tools_active else None
 
 
 def _logprobs_json(logprobs) -> dict | None:
@@ -33,25 +43,48 @@ def _logprobs_json(logprobs) -> dict | None:
     return {"content": content}
 
 
+def _finished_message(req: ChatCompletionRequest, text: str):
+    """(message dict, finish_reason override or None)."""
+    if req.tools_active:
+        content, calls = parse_tool_calls(text)
+        if calls:
+            return (
+                {
+                    "role": "assistant",
+                    "content": content,
+                    "tool_calls": [c.to_json() for c in calls],
+                },
+                "tool_calls",
+            )
+    return {"role": "assistant", "content": text}, None
+
+
 async def generate_chat_response(
     engine: AsyncLLMEngine, req: ChatCompletionRequest, model_name: str
 ) -> Response:
     sp = req.to_sampling_params()
     request_id = f"chatcmpl-{uuid.uuid4().hex[:24]}"
-    stream = await engine.schedule_chat_async(_messages(req), sp, priority=req.to_priority(), stream=False)
+    stream = await engine.schedule_chat_async(
+        _messages(req), sp, priority=req.to_priority(), stream=False,
+        tools=_req_tools(req),
+    )
     choices = []
     usage = {}
     async for out in stream:
         if out.finished:
             for so in out.outputs:
+                message, fr_override = _finished_message(req, so.text)
+                finish = (
+                    so.finish_reason.to_api_string() if so.finish_reason else None
+                )
+                if fr_override and finish == "stop":
+                    finish = fr_override
                 choices.append(
                     {
                         "index": so.index,
-                        "message": {"role": "assistant", "content": so.text},
+                        "message": message,
                         "logprobs": _logprobs_json(so.logprobs) if req.logprobs else None,
-                        "finish_reason": so.finish_reason.to_api_string()
-                        if so.finish_reason
-                        else None,
+                        "finish_reason": finish,
                     }
                 )
             if out.usage:
@@ -77,31 +110,90 @@ async def generate_chat_stream(
 ) -> None:
     sp = req.to_sampling_params()
     request_id = f"chatcmpl-{uuid.uuid4().hex[:24]}"
+
+    def chunk_json(index, delta, finish=None):
+        return json.dumps(
+            {
+                "id": request_id,
+                "object": "chat.completion.chunk",
+                "created": now(),
+                "model": model_name,
+                "choices": [
+                    {"index": index, "delta": delta, "finish_reason": finish}
+                ],
+            }
+        )
+
     try:
-        stream = await engine.schedule_chat_async(_messages(req), sp, priority=req.to_priority(), stream=True)
+        stream = await engine.schedule_chat_async(
+            _messages(req), sp, priority=req.to_priority(), stream=True,
+            tools=_req_tools(req),
+        )
         first = True
+
+        async def send_delta(index, delta, finish=None):
+            nonlocal first
+            if first:
+                delta = {"role": "assistant", **delta}
+                first = False
+            await sse.send(chunk_json(index, delta, finish))
+
+        # Tool-call streaming: hold back text once an opener (or a possible
+        # opener prefix) appears; on finish, parse the buffer and emit the
+        # calls as a single delta (finish_reason "tool_calls").
+        buffers: dict[int, str] = {}
+        emitted: set[int] = set()  # indexes that already streamed content
         async for out in stream:
             for so in out.outputs:
-                delta = {"content": so.text}
-                if first:
-                    delta["role"] = "assistant"
-                    first = False
-                chunk = {
-                    "id": request_id,
-                    "object": "chat.completion.chunk",
-                    "created": now(),
-                    "model": model_name,
-                    "choices": [
-                        {
-                            "index": so.index,
-                            "delta": delta,
-                            "finish_reason": so.finish_reason.to_api_string()
-                            if so.finish_reason
-                            else None,
+                finish = (
+                    so.finish_reason.to_api_string() if so.finish_reason else None
+                )
+                if not req.tools_active:
+                    await send_delta(so.index, {"content": so.text}, finish)
+                    continue
+                buf = buffers.get(so.index, "") + so.text
+                opener = tool_call_opener_pos(buf)
+                if opener == 0 and so.index in emitted and not buf.lstrip(
+                ).startswith(("<", "[T")):
+                    # bare-JSON form only counts anchored at output start
+                    opener = -1
+                if opener > 0:
+                    emitted.add(so.index)
+                    await send_delta(so.index, {"content": buf[:opener]})
+                    buf = buf[opener:]
+                    opener = 0
+                if opener == 0:
+                    buffers[so.index] = buf
+                    if not finish:
+                        continue
+                    content, calls = parse_tool_calls(buf)
+                    if calls:
+                        delta = {
+                            "tool_calls": [
+                                {**c.to_json(), "index": i}
+                                for i, c in enumerate(calls)
+                            ]
                         }
-                    ],
-                }
-                await sse.send(json.dumps(chunk))
+                        if content:
+                            delta["content"] = content
+                        await send_delta(
+                            so.index,
+                            delta,
+                            "tool_calls" if finish == "stop" else finish,
+                        )
+                    else:  # malformed call: flush as plain content
+                        await send_delta(so.index, {"content": buf}, finish)
+                    buffers[so.index] = ""
+                    continue
+                if (
+                    might_open_tool_call(buf, at_start=so.index not in emitted)
+                    and not finish
+                ):
+                    buffers[so.index] = buf
+                    continue
+                buffers[so.index] = ""
+                emitted.add(so.index)
+                await send_delta(so.index, {"content": buf}, finish)
         await sse.done()
     except Exception as e:
         await sse.send(json.dumps({"error": {"message": str(e)}}))

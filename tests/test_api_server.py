@@ -8,6 +8,7 @@ import socket
 import subprocess
 import sys
 import time
+import urllib.error
 import urllib.request
 
 import pytest
@@ -39,7 +40,7 @@ def server(tmp_path_factory):
             "--model", model_dir,
             "--port", str(port),
             "--host", "127.0.0.1",
-            "--num-blocks", "128",
+            "--num-blocks", "300",
             "--block-size", "4",
             "--disable-warmup",
         ],
@@ -197,3 +198,121 @@ def test_concurrent_clients(server):
         texts = list(pool.map(one, range(6)))
     assert len(texts) == 6
     assert all(len(t) > 0 for t in texts)
+
+
+TOOLS = [
+    {
+        "type": "function",
+        "function": {
+            "name": "get_weather",
+            "description": "Get weather for a city",
+            "parameters": {
+                "type": "object",
+                "properties": {"city": {"type": "string", "maxLength": 12}},
+                "required": ["city"],
+            },
+        },
+    }
+]
+
+
+def test_chat_tool_call_forced(server):
+    """tool_choice='required' guides generation into a parseable call: the
+    random-weight model MUST produce message.tool_calls."""
+    status, body = _post(
+        server,
+        "/v1/chat/completions",
+        {"model": "m", "messages": [{"role": "user", "content": "weather?"}],
+         "max_tokens": 160, "temperature": 1.0,
+         "tools": TOOLS, "tool_choice": "required"},
+    )
+    assert status == 200
+    choice = body["choices"][0]
+    assert choice["finish_reason"] == "tool_calls"
+    calls = choice["message"]["tool_calls"]
+    assert calls[0]["function"]["name"] == "get_weather"
+    args = json.loads(calls[0]["function"]["arguments"])
+    assert isinstance(args["city"], str)
+
+
+def test_chat_tool_call_streaming(server):
+    req = urllib.request.Request(
+        server + "/v1/chat/completions",
+        data=json.dumps(
+            {"model": "m",
+             "messages": [{"role": "user", "content": "weather?"}],
+             "max_tokens": 160, "temperature": 1.0, "stream": True,
+             "tools": TOOLS,
+             "tool_choice": {"type": "function",
+                             "function": {"name": "get_weather"}}}
+        ).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    tool_deltas = []
+    finishes = []
+    with urllib.request.urlopen(req, timeout=120) as r:
+        for raw in r:
+            line = raw.decode().strip()
+            if line.startswith("data: ") and line != "data: [DONE]":
+                c = json.loads(line[len("data: "):])["choices"][0]
+                if c["delta"].get("tool_calls"):
+                    tool_deltas.extend(c["delta"]["tool_calls"])
+                if c["finish_reason"]:
+                    finishes.append(c["finish_reason"])
+    assert finishes == ["tool_calls"]
+    assert tool_deltas[0]["function"]["name"] == "get_weather"
+    json.loads(tool_deltas[0]["function"]["arguments"])
+
+
+def test_chat_tool_result_roundtrip(server):
+    """Follow-up turn carrying assistant tool_calls + tool result renders
+    through the template (no 4xx/5xx) and produces a normal answer."""
+    status, body = _post(
+        server,
+        "/v1/chat/completions",
+        {"model": "m", "max_tokens": 4, "temperature": 0.0,
+         "tools": TOOLS,
+         "messages": [
+             {"role": "user", "content": "weather in Oslo?"},
+             {"role": "assistant", "content": None, "tool_calls": [
+                 {"id": "call_abc", "type": "function",
+                  "function": {"name": "get_weather",
+                               "arguments": "{\"city\": \"Oslo\"}"}}]},
+             {"role": "tool", "tool_call_id": "call_abc",
+              "content": "{\"temp\": -3}"},
+         ]},
+    )
+    assert status == 200
+    assert body["choices"][0]["message"]["content"]
+
+
+def test_chat_tool_choice_invalid(server):
+    status = None
+    try:
+        _post(
+            server,
+            "/v1/chat/completions",
+            {"model": "m", "messages": [{"role": "user", "content": "x"}],
+             "tools": TOOLS,
+             "tool_choice": {"type": "function",
+                             "function": {"name": "nope"}}},
+        )
+    except urllib.error.HTTPError as e:
+        status = e.code
+    assert status == 400
+
+
+def test_oversized_prompt_rejected(server):
+    """A request that can never fit in KV capacity fails fast (429), it must
+    not park in the wait queue forever."""
+    status = None
+    try:
+        _post(
+            server,
+            "/v1/completions",
+            {"model": "m", "prompt": "x" * 490, "max_tokens": 800,
+             "temperature": 0.0},
+        )
+    except urllib.error.HTTPError as e:
+        status = e.code
+    assert status == 429
