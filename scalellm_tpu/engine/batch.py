@@ -189,6 +189,12 @@ class Batch:
         self._score_top_k = None
         self._score_spans = []
 
+        # Async pipelining: token rows whose value is still on device (the
+        # previous step's sampled outputs). (token row, source row) pairs; the
+        # engine merges them in a tiny jitted gather before dispatch.
+        pending_rows: List[int] = []
+        pending_srcs: List[int] = []
+
         t = 0
         for s, e in enumerate(self.entries):
             seq = e.seq
@@ -199,7 +205,12 @@ class Batch:
             if e.num_tokens == 1:
                 # Decode fast path (profiled: the generic per-token arrays
                 # dominated prepare at large S).
-                token_ids[t] = seq.token_ids[start]
+                tid = seq.token_ids[start]
+                if tid < 0:  # pending: value = prev outs[pending_src]
+                    pending_rows.append(t)
+                    pending_srcs.append(seq.pending_src)
+                    tid = 0
+                token_ids[t] = tid
                 positions[t] = start
                 token_seg[t] = s
                 new_kv_slot_ids[t] = (
@@ -259,6 +270,14 @@ class Batch:
 
         # Padding rows repeat the last cumulative value (zero-length chunks).
         cu_q_lens[S_real + 1 :] = cu_q_lens[S_real]
+        if pending_rows:
+            mask = np.zeros(T, dtype=bool)
+            mask[pending_rows] = True
+            gather = np.zeros(T, dtype=np.int32)
+            gather[pending_rows] = pending_srcs
+            self._pending_fix = (mask, gather)
+        else:
+            self._pending_fix = None
         mi = ModelInputs(
             token_ids=token_ids,
             positions=positions,
@@ -333,6 +352,92 @@ class Batch:
                     ]
                 seq.set_prompt_logprob(p + 1, lp)
 
+    @property
+    def pending_fix(self):
+        """(mask[T] bool, gather[T] int32) for pending-token rows, or None.
+        Valid after prepare_model_inputs."""
+        return self._pending_fix
+
+    def needs_sync(self) -> bool:
+        """True when this batch can't run under async pipelining: guided
+        decoding and penalties need the previous token resolved on host
+        before the next step's masks/histograms are built, and prompt
+        scoring runs a different executor program."""
+        for e in self.entries:
+            sp = e.seq.sampling_params
+            if e.seq.guided is not None:
+                return True
+            if (
+                sp.frequency_penalty != 0.0
+                or sp.presence_penalty != 0.0
+                or sp.repetition_penalty != 1.0
+            ):
+                return True
+            if sp.prompt_logprobs is not None:
+                return True
+        return False
+
+    def append_pending_tokens(self) -> None:
+        """Async dispatch path: commit KV progress and reserve pending slots
+        for this step's samples (values resolve later from device)."""
+        for s, e in enumerate(self.entries):
+            e.seq.commit_kv_cache(e.num_tokens)
+            if e.needs_sample:
+                e.seq.append_pending_token(src_row=s)
+
+    def resolve_sample_output(
+        self,
+        next_tokens: np.ndarray,  # [S]
+        logprobs: Optional[np.ndarray],
+        top_ids: Optional[np.ndarray],
+        top_logprobs: Optional[np.ndarray],
+        tokenizer=None,
+    ) -> None:
+        """Async resolve: fill this step's pending tokens with fetched values
+        (KV was committed at dispatch). Sequences that finished or were
+        cancelled while this step was in flight drop their sample."""
+        for s, e in enumerate(self.entries):
+            seq = e.seq
+            if not e.needs_sample or not seq.has_pending:
+                continue
+            if seq.is_finished():
+                # finished while in flight: the sampled token is overshoot
+                seq.pop_pending_token()
+                continue
+            tid = int(next_tokens[s])
+            lp = self._build_logprob(
+                seq, tid, s, logprobs, top_ids, top_logprobs, tokenizer
+            )
+            seq.resolve_pending_token(tid, lp)
+            if seq.is_finished() and seq.has_pending:
+                # the NEXT step (already dispatched) sampled past the finish
+                seq.pop_pending_token()
+
+    @staticmethod
+    def _build_logprob(
+        seq, tid, s, logprobs, top_ids, top_logprobs, tokenizer
+    ) -> Optional[LogProb]:
+        if logprobs is None or not seq.sampling_params.logprobs:
+            return None
+        lp = LogProb(
+            token=tokenizer.id_to_token(tid) if tokenizer else "",
+            token_id=tid,
+            logprob=float(logprobs[s]),
+        )
+        k = seq.sampling_params.top_logprobs
+        if k > 0 and top_ids is not None:
+            lp.top_logprobs = [
+                LogProbData(
+                    token=tokenizer.id_to_token(int(top_ids[s, j]))
+                    if tokenizer
+                    else "",
+                    token_id=int(top_ids[s, j]),
+                    logprob=float(top_logprobs[s, j]),
+                )
+                for j in range(min(k, top_ids.shape[1]))
+            ]
+        return lp
+
     def process_sample_output(
         self,
         next_tokens: np.ndarray,  # [S]
@@ -349,23 +454,7 @@ class Batch:
             if not e.needs_sample:
                 continue
             tid = int(next_tokens[s])
-            lp: Optional[LogProb] = None
-            if logprobs is not None and seq.sampling_params.logprobs:
-                lp = LogProb(
-                    token=tokenizer.id_to_token(tid) if tokenizer else "",
-                    token_id=tid,
-                    logprob=float(logprobs[s]),
-                )
-                k = seq.sampling_params.top_logprobs
-                if k > 0 and top_ids is not None:
-                    lp.top_logprobs = [
-                        LogProbData(
-                            token=tokenizer.id_to_token(int(top_ids[s, j]))
-                            if tokenizer
-                            else "",
-                            token_id=int(top_ids[s, j]),
-                            logprob=float(top_logprobs[s, j]),
-                        )
-                        for j in range(min(k, top_ids.shape[1]))
-                    ]
+            lp = self._build_logprob(
+                seq, tid, s, logprobs, top_ids, top_logprobs, tokenizer
+            )
             seq.append_token(tid, lp)

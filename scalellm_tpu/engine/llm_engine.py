@@ -26,6 +26,25 @@ from scalellm_tpu.tokenizer.tokenizer import load_tokenizer
 logger = logging.getLogger(__name__)
 
 
+def _merge_pending_tokens(host_tokens, prev_next_tokens, gather_idx, mask):
+    """Device-side token feedback for async pipelining: rows flagged in
+    `mask` take their value from the previous step's sampled outputs (still
+    on device) instead of the host-prepared array — no host fetch on the
+    critical path. Tiny jit; caches per (T, S_prev) bucket pair."""
+    import jax
+    import jax.numpy as jnp
+
+    global _merge_jit
+    if _merge_jit is None:
+        _merge_jit = jax.jit(
+            lambda host, prev, idx, m: jnp.where(m, prev[idx], host)
+        )
+    return _merge_jit(host_tokens, prev_next_tokens, gather_idx, mask)
+
+
+_merge_jit = None
+
+
 @dataclass
 class EngineOptions:
     """Engine knobs (reference: llm_handler.h:56-102 Options)."""
@@ -264,6 +283,46 @@ class LLMEngine:
         # the logical block count is global, so no adjustment needed (each
         # device stores 1/tp of every block).
         return int(num_blocks)
+
+    # ------------------------------------------------------------- async step
+
+    @property
+    def supports_async(self) -> bool:
+        """Async pipelined stepping (dispatch_model/finalize_model) works
+        when one host drives the program: device-side token feedback can't
+        cross the multi-process broadcast (engine/distributed.py wraps this
+        engine and doesn't expose dispatch_model)."""
+        return not getattr(self.executor, "_multiprocess", False)
+
+    def dispatch_model(self, batch: Batch, prev_outs=None):
+        """Dispatch one step WITHOUT fetching its results. Sampled tokens are
+        appended as pending placeholders (Sequence.append_pending_token);
+        rows whose input token is still on device (previous step's sample)
+        are merged in-graph from `prev_outs.next_tokens`. Pair with
+        finalize_model once the NEXT step has been dispatched."""
+        self._step_counter += 1
+        mi, si, _ = batch.prepare_model_inputs(
+            self.options.block_size, self._step_counter
+        )
+        if batch.pending_fix is not None:
+            mask, gather = batch.pending_fix
+            mi.token_ids = _merge_pending_tokens(
+                mi.token_ids, prev_outs.next_tokens, gather, mask
+            )
+        outs = self.executor.execute(mi, si, decode_only=batch.is_decode_only)
+        batch.append_pending_tokens()
+        return outs
+
+    def finalize_model(self, batch: Batch, outs) -> None:
+        """Fetch a dispatched step's samples and resolve its pending tokens."""
+        next_tokens = np.asarray(outs.next_tokens)
+        want_lp = any(e.seq.sampling_params.logprobs for e in batch.entries)
+        logprobs = np.asarray(outs.logprobs) if want_lp else None
+        top_ids = np.asarray(outs.top_ids) if want_lp else None
+        top_lps = np.asarray(outs.top_logprobs) if want_lp else None
+        batch.resolve_sample_output(
+            next_tokens, logprobs, top_ids, top_lps, self.tokenizer
+        )
 
     # ---------------------------------------------------------------- execute
 

@@ -67,6 +67,8 @@ class LLMHandlerOptions:
     quantize: str = ""  # runtime quant of dense checkpoints: "" | "int4" | "int8"
     # KV swap-out preemption pool bytes (0 = off; memory/kv_swap.py).
     host_swap_bytes: int = 0
+    # Async pipelined stepping (scheduler keeps one step in flight).
+    enable_async_scheduling: bool = True
 
 
 class LLMHandler:
@@ -112,6 +114,7 @@ class LLMHandler:
                 max_tokens_per_batch=options.max_tokens_per_batch,
                 max_seqs_per_batch=options.max_seqs_per_batch,
                 num_speculative_tokens=options.num_speculative_tokens,
+                enable_async_scheduling=options.enable_async_scheduling,
             ),
             response_handler=self._response_handler,
         )

@@ -36,6 +36,7 @@ class LLM:
         quantize: str = "",
         quantize_lm_head: "bool | str" = False,
         host_swap_bytes: int = 0,
+        enable_async_scheduling: bool = True,
         mesh=None,
     ) -> None:
         options = LLMHandlerOptions(
@@ -56,6 +57,7 @@ class LLM:
             quantize=quantize,
             quantize_lm_head=quantize_lm_head,
             host_swap_bytes=host_swap_bytes,
+            enable_async_scheduling=enable_async_scheduling,
         )
         self._handler = LLMHandler(options, mesh=mesh)
 

@@ -116,6 +116,7 @@ class AsyncLLMEngine:
         quantize: str = "",
         warmup_mode: str = "fast",
         distributed: bool = False,
+        enable_async_scheduling: bool = True,
         mesh=None,
     ) -> None:
         options = LLMHandlerOptions(
@@ -136,6 +137,7 @@ class AsyncLLMEngine:
             quantize=quantize,
             warmup_mode=warmup_mode,
             distributed=distributed,
+            enable_async_scheduling=enable_async_scheduling,
         )
         self._handler = LLMHandler(options, mesh=mesh)
 

@@ -102,6 +102,15 @@ class Sequence:
         self._delivered_text_len = 0
         self.is_cancelled = False
 
+        # Async pipelined scheduling (scheduler/continuous_scheduler.py):
+        # trailing sampled-but-unfetched tokens. The value lives on device
+        # (previous step's ModelOutputs) until resolve; the list holds a -1
+        # placeholder so num_tokens/KV bookkeeping see the right lengths.
+        self._num_pending = 0
+        # Row of this sequence in the in-flight batch's sampled outputs
+        # (device-side token feedback gathers from it).
+        self._pending_src = -1
+
     # ------------------------------------------------------------------ tokens
 
     @property
@@ -118,7 +127,10 @@ class Sequence:
 
     @property
     def num_generated_tokens(self) -> int:
-        return len(self._token_ids) - self._num_prompt_tokens
+        # user-facing stat: pending placeholders don't count until resolved
+        return (
+            len(self._token_ids) - self._num_pending - self._num_prompt_tokens
+        )
 
     @property
     def token_counts(self) -> Dict[int, int]:
@@ -134,8 +146,11 @@ class Sequence:
 
     def append_token(self, token_id: int, logprob: Optional[LogProb] = None) -> None:
         """Append one generated token (reference: sequence.h append_token)."""
-        token_id = int(token_id)
-        self._token_ids.append(token_id)
+        self._token_ids.append(int(token_id))
+        self._register_token(int(token_id), logprob)
+
+    def _register_token(self, token_id: int, logprob: Optional[LogProb]) -> None:
+        """Bookkeeping shared by append_token and resolve_pending_token."""
         self._token_counts[token_id] = self._token_counts.get(token_id, 0) + 1
         self._finish_state_valid = False
         if self.guided is not None:
@@ -158,6 +173,62 @@ class Sequence:
             )
         self.last_token_time = now
         COUNTERS.inc("num_generated_tokens_total")
+
+    # -------------------------------------------------- async pending tokens
+
+    @property
+    def has_pending(self) -> bool:
+        return self._num_pending > 0
+
+    @property
+    def num_resolved_tokens(self) -> int:
+        """Tokens whose values are known on the host (excludes the trailing
+        pending placeholders of the async pipeline)."""
+        return len(self._token_ids) - self._num_pending
+
+    def append_pending_token(self, src_row: int) -> None:
+        """Reserve a slot for a token sampled by an in-flight step; the value
+        arrives via resolve_pending_token. src_row = the sequence's row in
+        that step's sampled outputs (device-side token feedback)."""
+        self._token_ids.append(-1)
+        self._num_pending += 1
+        self._pending_src = src_row
+
+    @property
+    def pending_src(self) -> int:
+        return self._pending_src
+
+    def resolve_pending_token(
+        self, token_id: int, logprob: Optional[LogProb] = None
+    ) -> None:
+        """Fill the oldest pending placeholder with its fetched value."""
+        assert self._num_pending > 0
+        pos = len(self._token_ids) - self._num_pending
+        self._token_ids[pos] = int(token_id)
+        self._num_pending -= 1
+        self._register_token(int(token_id), logprob)
+
+    def pop_pending_token(self) -> None:
+        """Drop the newest pending placeholder (overshoot of a sequence that
+        finished while the next step was already in flight; the in-flight
+        sample is discarded)."""
+        assert self._num_pending > 0 and self._token_ids[-1] == -1
+        self._token_ids.pop()
+        self._num_pending -= 1
+        # KV counters never cover pending positions, so no rewind is needed:
+        # the dropped slot's KV (if the in-flight step wrote it) belongs to a
+        # released block and is never read.
+        self._finish_state_valid = False
+
+    def would_finish_by_length(self) -> bool:
+        """True when the pending token(s) already reach a length limit — the
+        async scheduler skips such sequences instead of dispatching a step
+        whose output would be discarded."""
+        sc = self.stopping_criteria
+        gen = len(self._token_ids) - self._num_prompt_tokens
+        if sc.max_tokens and gen >= sc.max_tokens:
+            return True
+        return bool(sc.max_context_len) and len(self._token_ids) >= sc.max_context_len
 
     def validate_tokens(self, accepted_token_ids: Seq[int]) -> int:
         """Speculative validation (reference: sequence.cpp:92 validate_tokens).
@@ -293,8 +364,15 @@ class Sequence:
 
     def finish_reason(self) -> FinishReason:
         if not self._finish_state_valid:
+            # Pending placeholders carry no value yet: evaluate stopping on
+            # the resolved prefix only.
+            tokens = (
+                self._token_ids[: -self._num_pending]
+                if self._num_pending
+                else self._token_ids
+            )
             reason, hide = self.stopping_criteria.check_finished(
-                self._token_ids, self._num_prompt_tokens
+                tokens, self._num_prompt_tokens
             )
             if reason == FinishReason.NONE and self.guided is not None:
                 # Constraint complete (EOS-equivalent) or token-level dead
@@ -314,7 +392,9 @@ class Sequence:
     def build_delta_output(self, tokenizer) -> Optional[SequenceOutput]:
         """Stream any newly-finalized text
         (reference: sequence.h:188 build_delta_output_until)."""
-        end = self.num_tokens - self._num_hidden_tail_tokens if self.is_finished() else self.num_tokens
+        end = self.num_resolved_tokens
+        if self.is_finished():
+            end -= self._num_hidden_tail_tokens
         visible = self._token_ids[:end]
         prev_offset = self.decoder.output_offset
         delta_text = self.decoder.decode(visible, tokenizer)
@@ -333,7 +413,7 @@ class Sequence:
 
     def build_final_output(self, tokenizer) -> SequenceOutput:
         """Non-streaming: full output text at once."""
-        end = self.num_tokens - self._num_hidden_tail_tokens
+        end = self.num_resolved_tokens - self._num_hidden_tail_tokens
         visible = self._token_ids[:end]
         prev_offset = self.decoder.output_offset
         text = self.decoder.decode(visible, tokenizer)

@@ -43,6 +43,11 @@ class SchedulerOptions:
     num_speculative_tokens: int = 0
     # Intake queue capacity (reference: continuous_scheduler.cpp:58, 100k).
     max_pending_requests: int = 100_000
+    # Async pipelined stepping: dispatch step N+1 (with device-side token
+    # feedback) before fetching step N's results, hiding the host fetch +
+    # batch prep behind device execution. Requests using penalties, guided
+    # decoding, or prompt logprobs fall back to sync steps transparently.
+    enable_async_scheduling: bool = True
 
 
 class ContinuousScheduler:
@@ -70,6 +75,14 @@ class ContinuousScheduler:
         self._requests: List[Request] = []
         self._pending = 0
         self._pending_lock = threading.Lock()
+        # Async pipelining state: the dispatched-but-unresolved step.
+        self._async = options.enable_async_scheduling and getattr(
+            engine, "supports_async", False
+        )
+        self._inflight: Optional[tuple] = None  # (Batch, ModelOutputs)
+        # Set when a pipelined build hit allocation pressure: the next step
+        # runs sync so preemption can make room.
+        self._starved = False
 
     @property
     def max_seq_tokens(self) -> int:
@@ -99,12 +112,57 @@ class ContinuousScheduler:
 
     def step(self, timeout_s: float = 0.5) -> int:
         """Build one batch, run the engine, deliver outputs.
-        Returns the number of sequences stepped."""
+        Returns the number of sequences stepped.
+
+        With async scheduling the steady state keeps ONE step in flight:
+        build+dispatch N+1 (token values still on device feed forward
+        in-graph), then fetch/deliver N — the host work hides behind the
+        device step instead of serializing with it."""
+        if self._inflight is not None:
+            # Build the next batch BEFORE resolving the in-flight step;
+            # pending-token rows read the in-flight samples on device.
+            nxt = self._build_batch(0.0, pipelined=True)
+            if nxt.entries and not self._starved and not nxt.needs_sync():
+                outs = self._engine.dispatch_model(
+                    nxt, prev_outs=self._inflight[1]
+                )
+                resolved = self._resolve_inflight()
+                self._inflight = (nxt, outs)
+                COUNTERS.inc("num_async_steps")
+                return max(len(nxt.entries), resolved)
+            # Can't pipeline this batch: drain the pipeline, then run the
+            # already-built batch synchronously (its pending rows resolve
+            # first, so prepare sees real token values).
+            resolved = self._resolve_inflight()
+            if not nxt.entries:
+                return resolved if resolved else 0
+            self._execute_sync(nxt)
+            return len(nxt.entries)
+
         batch = self._build_batch(timeout_s)
         if not batch.entries:
             return 0
+        if self._async and not batch.needs_sync():
+            outs = self._engine.dispatch_model(batch)
+            self._inflight = (batch, outs)
+            COUNTERS.inc("num_async_steps")
+            return len(batch.entries)
+        self._execute_sync(batch)
+        return len(batch.entries)
+
+    def _execute_sync(self, batch: Batch) -> None:
         t0 = time.monotonic()
         self._engine.execute_model(batch)
+        HISTOGRAMS.observe("execute_model_latency_seconds", time.monotonic() - t0)
+        self._process_outputs(batch)
+
+    def _resolve_inflight(self) -> int:
+        if self._inflight is None:
+            return 0
+        batch, outs = self._inflight
+        self._inflight = None
+        t0 = time.monotonic()
+        self._engine.finalize_model(batch, outs)
         HISTOGRAMS.observe("execute_model_latency_seconds", time.monotonic() - t0)
         self._process_outputs(batch)
         return len(batch.entries)
@@ -114,7 +172,12 @@ class ContinuousScheduler:
         (reference: continuous_scheduler.cpp:397)."""
         while True:
             stepped = self.step(timeout_s=0.0)
-            if stepped == 0 and self.num_pending_requests == 0 and not self._requests:
+            if (
+                stepped == 0
+                and self._inflight is None
+                and self.num_pending_requests == 0
+                and not self._requests
+            ):
                 break
         self._response_handler.wait_for_complete()
 
@@ -151,8 +214,13 @@ class ContinuousScheduler:
         )
         COUNTERS.inc("responsing_rounds" if request.stream else "non_stream_responses")
 
-    def _build_batch(self, timeout_s: float) -> Batch:
+    def _build_batch(self, timeout_s: float, pipelined: bool = False) -> Batch:
+        """pipelined=True builds the NEXT step while one is still in flight:
+        no preemption (an in-flight victim's pages are still being written),
+        no n/best_of expansion (the parent's last token is unresolved), and
+        sequences that already reached a length limit are left for resolve."""
         t0 = time.monotonic()
+        self._starved = False
         self._drain_intake(timeout_s)
         opts = self._options
 
@@ -172,6 +240,11 @@ class ContinuousScheduler:
         # (reference: continuous_scheduler.cpp:137-142).
         for req in self._requests:
             if req.should_expand_sequences():
+                if pipelined:
+                    # parent's sampled token is in flight: expand after the
+                    # pipeline drains (this request sits out one build)
+                    self._starved = True
+                    continue
                 req.expand_sequences()
 
         batch = Batch()
@@ -190,6 +263,10 @@ class ContinuousScheduler:
                 if token_budget <= 0 or seq_budget <= 0:
                     break
                 if seq.is_finished():
+                    continue
+                if pipelined and seq.has_pending and seq.would_finish_by_length():
+                    # the in-flight token already reaches max_tokens/context:
+                    # don't dispatch a step whose output would be discarded
                     continue
                 if (
                     self._swapper is not None
@@ -217,7 +294,14 @@ class ContinuousScheduler:
                 # decode steps, reference: continuous_scheduler.cpp:443-475).
                 extra = spec_overhead if uncached == 1 else 0
                 target = cached + n + extra
-                if not self._allocate_with_preemption(req, seq, target, batch):
+                if pipelined:
+                    # No preemption while a step is in flight: a victim's
+                    # pages may still be receiving writes. Starved seqs force
+                    # the next step to run sync (with preemption).
+                    if not self._block_manager.allocate_blocks_for(seq, target):
+                        self._starved = True
+                        continue
+                elif not self._allocate_with_preemption(req, seq, target, batch):
                     # Out of memory even after preemption: this seq waits.
                     continue
                 # A prefix-cache hit during allocation may have served part
@@ -299,7 +383,11 @@ class ContinuousScheduler:
                 if seq.is_finished() and seq.blocks:
                     self._block_manager.deallocate(seq)
             if req.is_finished():
-                self._requests.remove(req)
-                self._finish_request(req)
+                # Async pipelining: a request that finished at the previous
+                # resolve may still own a (discarded) row in this batch —
+                # it was already retired then.
+                if req in self._requests:
+                    self._requests.remove(req)
+                    self._finish_request(req)
             elif req.stream:
                 self._response_handler.on_request_stream(req)

@@ -164,6 +164,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="warm up jit bucket cache at init (name kept for parity)")
     p.add_argument("--disable-warmup", dest="enable_cuda_graph", action="store_false")
     p.add_argument("--max-tokens-per-batch", type=int, default=512)
+    p.add_argument("--disable-async-scheduling", dest="enable_async_scheduling",
+                   action="store_false", default=True,
+                   help="disable pipelined (one step in flight) scheduling")
     p.add_argument("--max-seqs-per-batch", type=int, default=128)
     p.add_argument("--num-speculative-tokens", type=int, default=0)
     p.add_argument("--draft-model", type=str, default=None)
@@ -245,6 +248,7 @@ def main(argv: Optional[list] = None):
         quantize=args.quantize,
         warmup_mode=args.warmup_mode,
         distributed=distributed,
+        enable_async_scheduling=args.enable_async_scheduling,
     )
     model_name = args.model_id or args.model.rstrip("/").split("/")[-1]
     server = ApiServer(engine, model_name)
