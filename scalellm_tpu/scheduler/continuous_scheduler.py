@@ -306,10 +306,20 @@ class ContinuousScheduler:
                     continue
                 # A prefix-cache hit during allocation may have served part
                 # of the prompt from shared blocks — recompute the chunk.
+                # The new chunk can reach FURTHER than the original target
+                # (cached advanced, budget unchanged), so top up blocks.
                 cached = seq.num_kv_cache_tokens()
                 n = min(seq.num_tokens - cached, token_budget)
                 if n <= 0:
                     continue
+                if cached + n + extra > target:
+                    if not self._block_manager.allocate_blocks_for(
+                        seq, cached + n + extra
+                    ):
+                        # shrink the chunk to what the allocation covers
+                        n = seq.kv_cache_capacity - extra - cached
+                        if n <= 0:
+                            continue
                 batch.add(seq, n)
                 token_budget -= n
                 seq_budget -= 1
