@@ -1,17 +1,23 @@
-"""Standalone REST -> gRPC gateway.
+"""Standalone REST -> gRPC gateway with data-parallel replica routing.
 
 TPU-native counterpart of the reference's Go gateway (reference:
 gateway/main.go:22-55 grpc-gateway reverse proxy, gateway/forwarder.go:16
 ForwardResponseStream SSE forwarding, gateway/{completion,chat,models}
 _handler.go): a separate process that exposes the OpenAI REST surface and
-proxies every call to a scalellm_tpu gRPC server (serve/grpc_server.py),
-streaming responses as server-sent events. Lets deployments front one or
-more native gRPC serving processes with a stateless HTTP tier, exactly
-like the reference's gateway binary.
+proxies every call to one or more scalellm_tpu gRPC serving processes
+(serve/grpc_server.py), streaming responses as server-sent events.
+
+Data parallelism (beyond the reference, SURVEY §2.7 "DP: replicate at
+deployment level; serve-level router"): pass several --grpc-server
+endpoints (comma-separated or repeated) — each a full engine replica on
+its own TPU slice. The gateway routes every request to the healthy
+replica with the fewest outstanding requests (least-loaded), marks a
+replica down for a cooldown after a transport failure, and retries
+non-streaming calls once on another replica.
 
 Run:
   python -m scalellm_tpu.serve.gateway \
-      --grpc-server 127.0.0.1:8500 --http-server 0.0.0.0:8080
+      --grpc-server 10.0.0.1:8500,10.0.0.2:8500 --http-server 0.0.0.0:8080
 
 The gateway performs full REST request validation (shared api_protocol
 parsers) before the proxy hop, so malformed requests are rejected at the
@@ -169,47 +175,138 @@ def _grpc_error_response(e: grpc.aio.AioRpcError) -> Response:
     return Response.json(error_json(e.details() or code.name), status)
 
 
-class Gateway:
-    """REST edge tier proxying to one gRPC serving process."""
+class Replica:
+    """One gRPC serving process (a full engine replica)."""
 
-    def __init__(self, grpc_addr: str):
-        self._addr = grpc_addr
-        self._channel = grpc.aio.insecure_channel(grpc_addr)
+    def __init__(self, addr: str):
+        self.addr = addr
+        self.channel = grpc.aio.insecure_channel(addr)
         # Generic stubs over the protoc message classes (no grpcio-tools
         # codegen, same approach as the server's generic handlers).
-        self._complete = self._channel.unary_stream(
+        self.complete = self.channel.unary_stream(
             "/scalellm_tpu.Completion/Complete",
             request_serializer=llm_pb2.CompletionRequest.SerializeToString,
             response_deserializer=llm_pb2.CompletionResponse.FromString,
         )
-        self._chat = self._channel.unary_stream(
+        self.chat = self.channel.unary_stream(
             "/scalellm_tpu.Chat/Complete",
             request_serializer=llm_pb2.ChatRequest.SerializeToString,
             response_deserializer=llm_pb2.ChatResponse.FromString,
         )
-        self._models = self._channel.unary_unary(
+        self.models = self.channel.unary_unary(
             "/scalellm_tpu.Models/List",
             request_serializer=llm_pb2.ListModelsRequest.SerializeToString,
             response_deserializer=llm_pb2.ListModelsResponse.FromString,
         )
+        self.inflight = 0
+        self.served = 0
+        self.failures = 0
+        self.down_until = 0.0  # event-loop clock cooldown after failure
+
+    def healthy(self, now: float) -> bool:
+        return now >= self.down_until
+
+
+class BackendPool:
+    """Least-outstanding-requests router over engine replicas, with a
+    failure cooldown circuit breaker."""
+
+    COOLDOWN_S = 5.0
+
+    def __init__(self, addrs):
+        assert addrs
+        self.replicas = [Replica(a) for a in addrs]
+        self._rr = 0  # tie-break rotation
+
+    def pick(self, exclude=None) -> Replica:
+        now = asyncio.get_running_loop().time()
+        pool = [
+            r for r in self.replicas
+            if r.healthy(now) and (exclude is None or r is not exclude)
+        ]
+        if not pool:  # all down: try anyway (cooldown is advisory)
+            pool = [r for r in self.replicas if exclude is None or r is not exclude]
+        if not pool:
+            pool = self.replicas
+        self._rr += 1
+        return min(
+            enumerate(pool),
+            key=lambda ir: (ir[1].inflight, (ir[0] + self._rr) % len(pool)),
+        )[1]
+
+    def mark_down(self, r: Replica) -> None:
+        r.failures += 1
+        r.down_until = asyncio.get_running_loop().time() + self.COOLDOWN_S
+        logger.warning("replica %s marked down for %.0fs", r.addr, self.COOLDOWN_S)
+
+    def mark_up(self, r: Replica) -> None:
+        r.down_until = 0.0
+
+    async def close(self) -> None:
+        for r in self.replicas:
+            await r.channel.close()
+
+
+class Gateway:
+    """REST edge tier routing across one or more gRPC serving replicas."""
+
+    def __init__(self, grpc_addrs):
+        if isinstance(grpc_addrs, str):
+            grpc_addrs = [a.strip() for a in grpc_addrs.split(",") if a.strip()]
+        self.pool = BackendPool(grpc_addrs)
         self.http = HttpServer()
         self._routes()
 
     # ------------------------------------------------------------- streaming
 
-    async def _forward_stream(self, call, sse: SSEResponse, to_json) -> None:
+    async def _forward_stream(self, replica, call, sse: SSEResponse, to_json) -> None:
         """SSE forwarding of a server-streaming call (reference:
         gateway/forwarder.go:16 ForwardResponseStream)."""
         try:
             async for resp in call:
                 await sse.send(json.dumps(to_json(resp)))
             await sse.done()
+            replica.served += 1
         except grpc.aio.AioRpcError as e:
+            if e.code() == grpc.StatusCode.UNAVAILABLE:
+                self.pool.mark_down(replica)
             await sse.send(json.dumps(error_json(e.details() or e.code().name)))
             await sse.done()
         except Exception:
             logger.exception("stream forwarding error")
             await sse.aborted()
+        finally:
+            replica.inflight -= 1
+
+    async def _unary_stream_final(self, make_call, to_json) -> Response:
+        """Drain a server-streaming call to its final message; on transport
+        failure retry ONCE on a different replica (the request never started
+        generating there)."""
+        first = self.pool.pick()
+        for attempt, replica in enumerate((first, None)):
+            if replica is None:
+                replica = self.pool.pick(exclude=first)
+                if replica is first:
+                    break
+            replica.inflight += 1
+            try:
+                final = None
+                async for resp in make_call(replica):
+                    final = resp
+                if final is None:
+                    return Response.json(error_json("empty upstream response"), 500)
+                replica.served += 1
+                return Response.json(to_json(final))
+            except grpc.aio.AioRpcError as e:
+                if e.code() == grpc.StatusCode.UNAVAILABLE and attempt == 0:
+                    self.pool.mark_down(replica)
+                    continue
+                if e.code() == grpc.StatusCode.UNAVAILABLE:
+                    self.pool.mark_down(replica)
+                return _grpc_error_response(e)
+            finally:
+                replica.inflight -= 1
+        return Response.json(error_json("no replica available"), 503)
 
     # ---------------------------------------------------------------- routes
 
@@ -218,16 +315,39 @@ class Gateway:
 
         @http.route("GET", "/health")
         async def health(req: Request):
-            try:
-                await asyncio.wait_for(self._models(llm_pb2.ListModelsRequest()), 5)
-                return Response.text("OK")
-            except Exception:
-                return Response.text("upstream unavailable", 503)
+            # OK when ANY replica answers (DP tier stays up through single
+            # replica failures).
+            for r in self.pool.replicas:
+                try:
+                    await asyncio.wait_for(r.models(llm_pb2.ListModelsRequest()), 5)
+                    self.pool.mark_up(r)
+                    return Response.text("OK")
+                except Exception:
+                    continue
+            return Response.text("upstream unavailable", 503)
+
+        @http.route("GET", "/gateway/replicas")
+        async def replicas(req: Request):
+            now = asyncio.get_running_loop().time()
+            return Response.json(
+                {
+                    "replicas": [
+                        {
+                            "addr": r.addr,
+                            "healthy": r.healthy(now),
+                            "inflight": r.inflight,
+                            "served": r.served,
+                            "failures": r.failures,
+                        }
+                        for r in self.pool.replicas
+                    ]
+                }
+            )
 
         @http.route("GET", "/v1/models")
         async def models(req: Request):
             try:
-                resp = await self._models(llm_pb2.ListModelsRequest())
+                resp = await self.pool.pick().models(llm_pb2.ListModelsRequest())
             except grpc.aio.AioRpcError as e:
                 return _grpc_error_response(e)
             return Response.json(
@@ -261,22 +381,19 @@ class Gateway:
                 stream=body.stream,
                 priority=_PRIORITY.get(body.priority, 1),
             )
-            call = self._complete(pb)
             if body.stream:
+                replica = self.pool.pick()
+                replica.inflight += 1
                 sse = SSEResponse()
                 asyncio.get_running_loop().create_task(
-                    self._forward_stream(call, sse, _completion_json)
+                    self._forward_stream(
+                        replica, replica.complete(pb), sse, _completion_json
+                    )
                 )
                 return sse
-            try:
-                final = None
-                async for resp in call:
-                    final = resp
-                if final is None:
-                    return Response.json(error_json("empty upstream response"), 500)
-                return Response.json(_completion_json(final))
-            except grpc.aio.AioRpcError as e:
-                return _grpc_error_response(e)
+            return await self._unary_stream_final(
+                lambda r: r.complete(pb), _completion_json
+            )
 
         @http.route("POST", "/v1/chat/completions")
         async def chat(req: Request):
@@ -296,52 +413,56 @@ class Gateway:
                 stream=body.stream,
                 priority=_PRIORITY.get(body.priority, 1),
             )
-            call = self._chat(pb)
             if body.stream:
+                replica = self.pool.pick()
+                replica.inflight += 1
                 sse = SSEResponse()
                 asyncio.get_running_loop().create_task(
                     self._forward_stream(
-                        call, sse, lambda r: _chat_json(r, stream=True)
+                        replica, replica.chat(pb), sse,
+                        lambda r: _chat_json(r, stream=True),
                     )
                 )
                 return sse
-            try:
-                final = None
-                async for resp in call:
-                    final = resp
-                if final is None:
-                    return Response.json(error_json("empty upstream response"), 500)
-                return Response.json(_chat_json(final, stream=False))
-            except grpc.aio.AioRpcError as e:
-                return _grpc_error_response(e)
+            return await self._unary_stream_final(
+                lambda r: r.chat(pb), lambda r: _chat_json(r, stream=False)
+            )
 
     # ------------------------------------------------------------------ main
 
     async def run(self, host: str, port: int) -> None:
         await self.http.start(host, port)
-        logger.info("gateway %s:%d -> grpc %s", host, port, self._addr)
+        logger.info(
+            "gateway %s:%d -> %d replica(s): %s",
+            host, port, len(self.pool.replicas),
+            ",".join(r.addr for r in self.pool.replicas),
+        )
         await self.http.serve_forever()
 
     async def close(self) -> None:
         await self.http.stop()
-        await self._channel.close()
+        await self.pool.close()
 
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument(
-        "--grpc-server", default="127.0.0.1:8888",
-        help="gRPC server endpoint (reference: gateway/main.go grpc-server flag)",
+        "--grpc-server", action="append", default=None,
+        help="gRPC replica endpoint; repeat or comma-separate for data-"
+        "parallel replicas (reference: gateway/main.go grpc-server flag)",
     )
     p.add_argument("--http-server", default="0.0.0.0:8080", help="HTTP bind addr")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
     host, _, port = args.http_server.rpartition(":")
+    addrs = []
+    for a in args.grpc_server or ["127.0.0.1:8888"]:
+        addrs.extend(x.strip() for x in a.split(",") if x.strip())
 
     async def amain():
-        # The grpc.aio channel must be created with the event loop running
-        # (it binds to the current loop).
-        gw = Gateway(args.grpc_server)
+        # The grpc.aio channels must be created with the event loop running
+        # (they bind to the current loop).
+        gw = Gateway(addrs)
         await gw.run(host or "0.0.0.0", int(port))
 
     asyncio.run(amain())
