@@ -185,6 +185,24 @@ class Executor:
         out = self._gather_pages_fn(b)(self.kv_cache, jnp.asarray(ids))
         return np.asarray(out[:, :n])
 
+    def fetch_pages_async(self, page_ids: np.ndarray):
+        """Non-blocking fetch_pages: dispatches the gather and starts the
+        device->host DMA, returning the jax array immediately (materialize
+        with np.asarray once the transfer drains). Lets KV swap-out staging
+        overlap the next engine step instead of stalling the host on it."""
+        n = len(page_ids)
+        b = self._page_bucket(n)
+        ids = np.concatenate(
+            [page_ids, np.full(b - n, page_ids[-1], np.int32)]
+        )
+        out = self._gather_pages_fn(b)(self.kv_cache, jnp.asarray(ids))
+        out = out[:, :n]
+        try:
+            out.copy_to_host_async()
+        except Exception:  # backend without async host copies: stays lazy
+            pass
+        return out
+
     def restore_pages(self, page_ids: np.ndarray, data: np.ndarray) -> None:
         """Host -> device scatter of staged pages into new slots (in place:
         the cache array is donated). Padding repeats the last (id, page)

@@ -43,8 +43,15 @@ logger = logging.getLogger(__name__)
 
 @dataclass
 class SwapEntry:
-    data: np.ndarray  # [L, n_pages, page_size, 2H, D] staged page contents
+    # [L, n_pages, page_size, 2H, D] staged page contents. May transiently
+    # be a jax array with an in-flight device->host DMA (async staging);
+    # finalize() pins it to numpy, releasing the device buffer.
+    data: "np.ndarray"
     num_kv_tokens: int  # KV counter to restore on swap-in
+
+    def finalize(self) -> None:
+        if not isinstance(self.data, np.ndarray):
+            self.data = np.asarray(self.data)
 
 
 class HostKVPool:
@@ -103,6 +110,8 @@ class KVSwapper:
         self._bm = block_manager
         self._block_size = block_size
         self._pool = pool
+        # entries whose device->host DMA may still be in flight
+        self._staging: list = []
 
     @property
     def pool(self) -> HostKVPool:
@@ -117,11 +126,32 @@ class KVSwapper:
             return False
         n_pages = (n_kv + self._block_size - 1) // self._block_size
         page_ids = np.asarray(seq.block_ids()[:n_pages], np.int32)
-        data = self._executor.fetch_pages(page_ids)
-        if not self._pool.put(seq.seq_id, SwapEntry(data, n_kv)):
+        # Async staging: the gather + host DMA run behind the next engine
+        # step; only accounting happens here. Safe to release the victim's
+        # blocks immediately — any re-writer of those pages is dispatched
+        # after the gather, so device ordering preserves the copy.
+        fetch = getattr(self._executor, "fetch_pages_async", None)
+        data = (
+            fetch(page_ids) if fetch is not None
+            else self._executor.fetch_pages(page_ids)
+        )
+        entry = SwapEntry(data, n_kv)
+        if not self._pool.put(seq.seq_id, entry):
             return False
+        self._staging.append(entry)
         COUNTERS.inc("num_swap_out")
         return True
+
+    def finalize_staging(self) -> None:
+        """Pin any in-flight staged copies to host memory (releases their
+        device buffers). The scheduler calls this once per build — by then
+        the DMA has drained behind the intervening step, so this is cheap."""
+        pending = self._staging
+        if not pending:
+            return
+        self._staging = []
+        for entry in pending:
+            entry.finalize()
 
     def swap_in(self, seq: "Sequence") -> bool:
         """Restore a staged sequence: allocate fresh blocks (prefix cache
@@ -131,6 +161,7 @@ class KVSwapper:
         entry = self._pool.get(seq.seq_id)
         if entry is None:
             return False
+        entry.finalize()  # in case its staging DMA is still in flight
         assert not seq.blocks, "swap_in expects a blockless sequence"
         # Capacity for the full sequence (restored KV + room for the next
         # token) without touching the prefix cache.

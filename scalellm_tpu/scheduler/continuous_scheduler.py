@@ -222,6 +222,10 @@ class ContinuousScheduler:
         t0 = time.monotonic()
         self._starved = False
         self._drain_intake(timeout_s)
+        if self._swapper is not None:
+            # Pin last round's swap-out copies to host memory — their DMA
+            # drained behind the intervening step (async staging).
+            self._swapper.finalize_staging()
         opts = self._options
 
         # Priority then FCFS (reference: request.h:115-135 comparators).
