@@ -10,11 +10,7 @@ from scalellm_tpu.llm_engine import AsyncLLMEngine
 from scalellm_tpu.serve.api_protocol import ChatCompletionRequest, now
 from scalellm_tpu.serve.http import Response, SSEResponse
 from scalellm_tpu.utils.chat import Message
-from scalellm_tpu.utils.tools import (
-    might_open_tool_call,
-    parse_tool_calls,
-    tool_call_opener_pos,
-)
+from scalellm_tpu.utils.tools import StreamToolBuffer, parse_tool_calls
 
 
 def _messages(req: ChatCompletionRequest):
@@ -138,11 +134,10 @@ async def generate_chat_stream(
                 first = False
             await sse.send(chunk_json(index, delta, finish))
 
-        # Tool-call streaming: hold back text once an opener (or a possible
-        # opener prefix) appears; on finish, parse the buffer and emit the
-        # calls as a single delta (finish_reason "tool_calls").
-        buffers: dict[int, str] = {}
-        emitted: set[int] = set()  # indexes that already streamed content
+        # Tool-call streaming: StreamToolBuffer holds back text once an
+        # opener (or a possible opener prefix) appears; on finish the parsed
+        # calls are emitted as a single delta (finish_reason "tool_calls").
+        buffers: dict[int, StreamToolBuffer] = {}
         async for out in stream:
             for so in out.outputs:
                 finish = (
@@ -151,49 +146,27 @@ async def generate_chat_stream(
                 if not req.tools_active:
                     await send_delta(so.index, {"content": so.text}, finish)
                     continue
-                buf = buffers.get(so.index, "") + so.text
-                opener = tool_call_opener_pos(buf)
-                if opener == 0 and so.index in emitted and not buf.lstrip(
-                ).startswith(("<", "[T")):
-                    # bare-JSON form only counts anchored at output start
-                    opener = -1
-                if opener > 0:
-                    emitted.add(so.index)
-                    await send_delta(so.index, {"content": buf[:opener]})
-                    buf = buf[opener:]
-                    opener = 0
-                if opener == 0:
-                    buffers[so.index] = buf
-                    if not finish:
-                        continue
-                    content, calls = parse_tool_calls(buf)
-                    if calls:
-                        delta = {
-                            "tool_calls": [
-                                {**c.to_json(), "index": i}
-                                for i, c in enumerate(calls)
-                            ]
-                        }
-                        if content:
-                            delta["content"] = content
-                        await send_delta(
-                            so.index,
-                            delta,
-                            "tool_calls" if finish == "stop" else finish,
-                        )
-                    else:  # malformed call: flush as plain content
-                        await send_delta(so.index, {"content": buf}, finish)
-                    buffers[so.index] = ""
+                buf = buffers.setdefault(so.index, StreamToolBuffer())
+                ev = buf.feed(so.text, finished=finish is not None)
+                if ev is None:
                     continue
-                if (
-                    might_open_tool_call(buf, at_start=so.index not in emitted)
-                    and not finish
-                ):
-                    buffers[so.index] = buf
-                    continue
-                buffers[so.index] = ""
-                emitted.add(so.index)
-                await send_delta(so.index, {"content": buf}, finish)
+                if ev[0] == "tool_calls":
+                    _, content, calls = ev
+                    delta = {
+                        "tool_calls": [
+                            {**c.to_json(), "index": i}
+                            for i, c in enumerate(calls)
+                        ]
+                    }
+                    if content:
+                        delta["content"] = content
+                    await send_delta(
+                        so.index,
+                        delta,
+                        "tool_calls" if finish == "stop" else finish,
+                    )
+                else:
+                    await send_delta(so.index, {"content": ev[1] or ""}, finish)
         await sse.done()
     except Exception as e:
         await sse.send(json.dumps({"error": {"message": str(e)}}))

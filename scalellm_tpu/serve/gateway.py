@@ -148,9 +148,19 @@ def _chat_json(resp: llm_pb2.ChatResponse, stream: bool) -> dict:
                 delta["role"] = c.delta.role
             if c.delta.content:
                 delta["content"] = c.delta.content
+            if c.delta.HasField("tool_calls_json"):
+                delta["tool_calls"] = [
+                    {**tc, "index": i}
+                    for i, tc in enumerate(json.loads(c.delta.tool_calls_json))
+                ]
             entry["delta"] = delta
         else:
-            entry["message"] = {"role": c.message.role, "content": c.message.content}
+            msg = {"role": c.message.role, "content": c.message.content or None}
+            if c.message.HasField("tool_calls_json"):
+                msg["tool_calls"] = json.loads(c.message.tool_calls_json)
+            elif msg["content"] is None:
+                msg["content"] = ""
+            entry["message"] = msg
         choices.append(entry)
     out = {
         "id": resp.id,
@@ -403,16 +413,26 @@ class Gateway:
                 return Response.json(error_json(e.message), status_to_http(e.code))
             except Exception as e:
                 return Response.json(error_json(f"invalid JSON: {e}"), 400)
+            def msg_pb(m):
+                pb_m = llm_pb2.ChatMessage(
+                    role=m["role"], content=m.get("content") or ""
+                )
+                if m.get("tool_calls"):
+                    pb_m.tool_calls_json = json.dumps(m["tool_calls"])
+                if m.get("tool_call_id"):
+                    pb_m.tool_call_id = m["tool_call_id"]
+                return pb_m
+
             pb = llm_pb2.ChatRequest(
                 model=body.model,
-                messages=[
-                    llm_pb2.ChatMessage(role=m["role"], content=m["content"])
-                    for m in body.messages
-                ],
+                messages=[msg_pb(m) for m in body.messages],
                 sampling=_sampling_pb(body),
                 stream=body.stream,
                 priority=_PRIORITY.get(body.priority, 1),
             )
+            if body.tools:
+                pb.tools_json = json.dumps(body.tools)
+                pb.tool_choice_json = json.dumps(body.tool_choice)
             if body.stream:
                 replica = self.pool.pick()
                 replica.inflight += 1

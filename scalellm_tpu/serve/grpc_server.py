@@ -158,15 +158,65 @@ class LLMServicer:
     # -------------------------------------------------------------- chat
 
     def chat(self, request: llm_pb2.ChatRequest, context) -> Iterator[llm_pb2.ChatResponse]:
+        import json as _json
+
+        from scalellm_tpu.utils.tools import (
+            StreamToolBuffer,
+            guided_regex_for_tools,
+            parse_tool_calls,
+            validate_tool_choice,
+            validate_tools,
+        )
+
         sp = _to_sampling_params(request.sampling)
         stream = request.stream
         rid = f"chatcmpl-{uuid.uuid4().hex[:24]}"
-        messages = [Message(m.role, m.content) for m in request.messages]
+        tools = None
+        tool_choice = "auto"
+        try:
+            if request.HasField("tools_json"):
+                tools = validate_tools(_json.loads(request.tools_json))
+            if request.HasField("tool_choice_json"):
+                tool_choice = validate_tool_choice(
+                    _json.loads(request.tool_choice_json), tools
+                )
+        except (ValueError, _json.JSONDecodeError) as e:
+            context.abort(grpc.StatusCode.INVALID_ARGUMENT, str(e))
+            return
+        tools_active = bool(tools) and tool_choice != "none"
+        if tools_active and tool_choice != "auto":
+            if sp.guided_regex or sp.guided_json or sp.guided_choice:
+                context.abort(
+                    grpc.StatusCode.INVALID_ARGUMENT,
+                    "tool_choice forcing cannot be combined with guided_* params",
+                )
+                return
+            if tool_choice == "required":
+                sp.guided_regex = guided_regex_for_tools(tools)
+            elif isinstance(tool_choice, dict):
+                sp.guided_regex = guided_regex_for_tools(
+                    tools, tool_choice["function"]["name"]
+                )
+        messages = [
+            Message(
+                m.role,
+                m.content,
+                tool_calls=_json.loads(m.tool_calls_json)
+                if m.HasField("tool_calls_json")
+                else None,
+                tool_call_id=m.tool_call_id
+                if m.HasField("tool_call_id")
+                else None,
+            )
+            for m in request.messages
+        ]
         cq = _CallQueue(context)
         self._handler.schedule_chat_async(
-            messages, sp, Priority(request.priority or 1), stream, cq.put
+            messages, sp, Priority(request.priority or 1), stream, cq.put,
+            tools=tools if tools_active else None,
         )
         first = True
+        buffers: dict = {}
         for out in cq:
             if out.status is not None and not out.status.ok:
                 context.abort(grpc.StatusCode.INVALID_ARGUMENT, out.status.message)
@@ -179,21 +229,55 @@ class LLMServicer:
             )
             for so in out.outputs:
                 choice = llm_pb2.ChatChoice(index=so.index)
+                finish = (
+                    so.finish_reason.to_api_string()
+                    if so.finish_reason is not None
+                    else None
+                )
                 if stream:
-                    choice.delta.content = so.text
+                    if tools_active:
+                        buf = buffers.setdefault(so.index, StreamToolBuffer())
+                        ev = buf.feed(so.text, finished=finish is not None)
+                        if ev is None:
+                            continue
+                        if ev[0] == "tool_calls":
+                            _, content, calls = ev
+                            if content:
+                                choice.delta.content = content
+                            choice.delta.tool_calls_json = _json.dumps(
+                                [c.to_json() for c in calls]
+                            )
+                            if finish == "stop":
+                                finish = "tool_calls"
+                        else:
+                            choice.delta.content = ev[1] or ""
+                    else:
+                        choice.delta.content = so.text
                     if first:
                         choice.delta.role = "assistant"
                 else:
                     choice.message.role = "assistant"
-                    choice.message.content = so.text
-                if so.finish_reason is not None:
-                    choice.finish_reason = so.finish_reason.to_api_string()
+                    text = so.text
+                    if tools_active:
+                        content, calls = parse_tool_calls(text)
+                        if calls:
+                            choice.message.tool_calls_json = _json.dumps(
+                                [c.to_json() for c in calls]
+                            )
+                            text = content or ""
+                            if finish == "stop":
+                                finish = "tool_calls"
+                    choice.message.content = text
+                if finish is not None:
+                    choice.finish_reason = finish
                 resp.choices.append(choice)
             first = False
             if out.usage is not None:
                 resp.usage.prompt_tokens = out.usage.num_prompt_tokens
                 resp.usage.completion_tokens = out.usage.num_generated_tokens
                 resp.usage.total_tokens = out.usage.num_total_tokens
+            if stream and not resp.choices:
+                continue  # everything buffered this round
             yield resp
 
     # -------------------------------------------------------------- models

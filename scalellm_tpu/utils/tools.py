@@ -162,10 +162,14 @@ _BARE_TARGET = '{"name"'
 
 
 def _bare_prefix(text: str) -> bool:
-    """Could `text` (from output start) grow into a bare-JSON tool call?"""
+    """Could `text` (from output start) grow into a bare-JSON tool call?
+    Mirrors _BARE_RE's tolerance: whitespace around the brackets/brace and
+    before the colon."""
     t = text.lstrip()
     if t.startswith("["):
         t = t[1:].lstrip()
+    if t.startswith("{"):
+        t = "{" + t[1:].lstrip()
     if len(t) <= len(_BARE_TARGET):
         return _BARE_TARGET.startswith(t)
     if t.startswith(_BARE_TARGET):
@@ -185,6 +189,46 @@ def might_open_tool_call(tail: str, at_start: bool = False) -> bool:
             if tail.endswith(marker[:k]):
                 return True
     return at_start and _bare_prefix(tail)
+
+
+class StreamToolBuffer:
+    """Streaming hold-back state machine for one output index: feed text
+    deltas, get back ('content', text) / ('tool_calls', content, calls) /
+    None (buffering). Used by the gRPC chat stream; the SSE handler
+    implements the same protocol inline."""
+
+    def __init__(self):
+        self._buf = ""
+        self._emitted = False
+
+    def feed(self, text: str, finished: bool):
+        buf = self._buf + text
+        opener = tool_call_opener_pos(buf)
+        if opener == 0 and self._emitted and not buf.lstrip().startswith(("<", "[T")):
+            opener = -1  # bare-JSON form only counts at output start
+        pre = None
+        if opener > 0:
+            pre = buf[:opener]
+            self._emitted = True
+            buf = buf[opener:]
+            opener = 0
+        if opener == 0:
+            self._buf = buf
+            if not finished:
+                return ("content", pre) if pre else None
+            content, calls = parse_tool_calls(buf)
+            self._buf = ""
+            if calls:
+                if pre:
+                    content = pre + (content or "")
+                return ("tool_calls", content, calls)
+            return ("content", (pre or "") + buf)
+        if might_open_tool_call(buf, at_start=not self._emitted) and not finished:
+            self._buf = buf
+            return None
+        self._buf = ""
+        self._emitted = True
+        return ("content", buf)
 
 
 def _normalize_call(obj: Any) -> Optional[ToolCall]:

@@ -279,3 +279,56 @@ def test_dp_failover(dp_gateway):
     # health stays OK on the surviving replica
     with urllib.request.urlopen(base + "/health", timeout=10) as r:
         assert r.status == 200
+
+
+GW_TOOLS = [
+    {
+        "type": "function",
+        "function": {
+            "name": "lookup",
+            "parameters": {
+                "type": "object",
+                "properties": {"q": {"type": "string", "maxLength": 8}},
+                "required": ["q"],
+            },
+        },
+    }
+]
+
+
+def test_tool_call_through_gateway(gateway):
+    """tools/tool_choice ride the proto (tools_json) to the serving tier;
+    the forced call comes back as message.tool_calls."""
+    r = _post(
+        gateway + "/v1/chat/completions",
+        {"model": "m", "messages": [{"role": "user", "content": "call it"}],
+         "max_tokens": 120, "temperature": 1.0,
+         "tools": GW_TOOLS, "tool_choice": "required"},
+    )
+    choice = r["choices"][0]
+    assert choice["finish_reason"] == "tool_calls"
+    call = choice["message"]["tool_calls"][0]
+    assert call["function"]["name"] == "lookup"
+    json.loads(call["function"]["arguments"])
+
+
+def test_tool_call_streaming_through_gateway(gateway):
+    chunks = _post_sse(
+        gateway + "/v1/chat/completions",
+        {"model": "m", "messages": [{"role": "user", "content": "call it"}],
+         "max_tokens": 120, "temperature": 1.0, "stream": True,
+         "tools": GW_TOOLS,
+         "tool_choice": {"type": "function", "function": {"name": "lookup"}}},
+    )
+    tool_deltas = [
+        tc
+        for c in chunks
+        for tc in c["choices"][0]["delta"].get("tool_calls", [])
+    ]
+    finishes = [
+        c["choices"][0]["finish_reason"]
+        for c in chunks
+        if c["choices"][0]["finish_reason"]
+    ]
+    assert finishes == ["tool_calls"], chunks
+    assert tool_deltas[0]["function"]["name"] == "lookup"

@@ -198,3 +198,27 @@ def test_message_roundtrip():
                         "function": {"name": "f", "arguments": "{}"}}],
     }
     assert Message.from_dict(d).to_dict() == d
+
+
+def test_bare_prefix_tolerates_whitespace():
+    # the FSM's JSON grammar allows a space after '{' — the stream hold-back
+    # must keep buffering through it (regression: leaked '{ ' as content)
+    assert might_open_tool_call("{ ", at_start=True)
+    assert might_open_tool_call('{ "na', at_start=True)
+    assert might_open_tool_call('[ { "name"', at_start=True)
+    assert might_open_tool_call('{ "name" ', at_start=True)
+    assert not might_open_tool_call('{ "nope', at_start=True)
+
+
+def test_stream_tool_buffer_space_after_brace():
+    from scalellm_tpu.utils.tools import StreamToolBuffer
+
+    buf = StreamToolBuffer()
+    text = '{ "name": "lookup", "arguments": { "q": "x"}}'
+    evs = []
+    for i, ch in enumerate(text):
+        ev = buf.feed(ch, finished=(i == len(text) - 1))
+        if ev is not None:
+            evs.append(ev)
+    assert len(evs) == 1 and evs[0][0] == "tool_calls"
+    assert evs[0][2][0].name == "lookup"
