@@ -219,16 +219,24 @@ class Replica:
 
 class BackendPool:
     """Least-outstanding-requests router over engine replicas, with a
-    failure cooldown circuit breaker."""
+    failure cooldown circuit breaker and prefix-cache affinity.
+
+    Affinity: requests carrying the same prompt prefix hash to the same
+    replica so its prefix cache serves the shared tokens (multi-turn chat,
+    shared system prompts). Load still wins: the affinity replica is only
+    preferred while its backlog is within AFFINITY_SLACK of the least-
+    loaded one."""
 
     COOLDOWN_S = 5.0
+    AFFINITY_SLACK = 4  # max extra inflight the affinity replica may carry
+    AFFINITY_PREFIX_CHARS = 512
 
     def __init__(self, addrs):
         assert addrs
         self.replicas = [Replica(a) for a in addrs]
         self._rr = 0  # tie-break rotation
 
-    def pick(self, exclude=None) -> Replica:
+    def pick(self, exclude=None, affinity_key: Optional[str] = None) -> Replica:
         now = asyncio.get_running_loop().time()
         pool = [
             r for r in self.replicas
@@ -239,10 +247,23 @@ class BackendPool:
         if not pool:
             pool = self.replicas
         self._rr += 1
-        return min(
+        least = min(
             enumerate(pool),
             key=lambda ir: (ir[1].inflight, (ir[0] + self._rr) % len(pool)),
         )[1]
+        if affinity_key is not None and len(pool) > 1:
+            import zlib
+
+            idx = zlib.crc32(
+                affinity_key[: self.AFFINITY_PREFIX_CHARS].encode()
+            ) % len(self.replicas)
+            preferred = self.replicas[idx]
+            if (
+                preferred in pool
+                and preferred.inflight <= least.inflight + self.AFFINITY_SLACK
+            ):
+                return preferred
+        return least
 
     def mark_down(self, r: Replica) -> None:
         r.failures += 1
@@ -288,11 +309,13 @@ class Gateway:
         finally:
             replica.inflight -= 1
 
-    async def _unary_stream_final(self, make_call, to_json) -> Response:
+    async def _unary_stream_final(
+        self, make_call, to_json, affinity_key: Optional[str] = None
+    ) -> Response:
         """Drain a server-streaming call to its final message; on transport
         failure retry ONCE on a different replica (the request never started
         generating there)."""
-        first = self.pool.pick()
+        first = self.pool.pick(affinity_key=affinity_key)
         for attempt, replica in enumerate((first, None)):
             if replica is None:
                 replica = self.pool.pick(exclude=first)
@@ -391,8 +414,9 @@ class Gateway:
                 stream=body.stream,
                 priority=_PRIORITY.get(body.priority, 1),
             )
+            akey = prompt
             if body.stream:
-                replica = self.pool.pick()
+                replica = self.pool.pick(affinity_key=akey)
                 replica.inflight += 1
                 sse = SSEResponse()
                 asyncio.get_running_loop().create_task(
@@ -402,7 +426,7 @@ class Gateway:
                 )
                 return sse
             return await self._unary_stream_final(
-                lambda r: r.complete(pb), _completion_json
+                lambda r: r.complete(pb), _completion_json, affinity_key=akey
             )
 
         @http.route("POST", "/v1/chat/completions")
@@ -433,8 +457,10 @@ class Gateway:
             if body.tools:
                 pb.tools_json = json.dumps(body.tools)
                 pb.tool_choice_json = json.dumps(body.tool_choice)
+            # affinity on the conversation head: system + first user turn
+            akey = json.dumps(body.messages[:2])
             if body.stream:
-                replica = self.pool.pick()
+                replica = self.pool.pick(affinity_key=akey)
                 replica.inflight += 1
                 sse = SSEResponse()
                 asyncio.get_running_loop().create_task(
@@ -445,7 +471,8 @@ class Gateway:
                 )
                 return sse
             return await self._unary_stream_final(
-                lambda r: r.chat(pb), lambda r: _chat_json(r, stream=False)
+                lambda r: r.chat(pb), lambda r: _chat_json(r, stream=False),
+                affinity_key=akey,
             )
 
     # ------------------------------------------------------------------ main

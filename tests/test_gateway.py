@@ -257,6 +257,26 @@ def test_dp_routing_distributes(dp_gateway):
     assert all(s > 0 for s in served), served
 
 
+def test_affinity_routing_prefers_same_replica(dp_gateway):
+    """Identical prompts hash to one replica (prefix-cache affinity) while
+    distinct prompts still spread."""
+    base, _ = dp_gateway
+    with urllib.request.urlopen(base + "/gateway/replicas", timeout=10) as r:
+        before = {s["addr"]: s["served"] for s in json.loads(r.read())["replicas"]}
+    for _ in range(4):
+        _post(
+            base + "/v1/completions",
+            {"model": "m", "prompt": "affinity shared prefix prompt",
+             "max_tokens": 2, "temperature": 0.0, "ignore_eos": True},
+            timeout=120,
+        )
+    with urllib.request.urlopen(base + "/gateway/replicas", timeout=10) as r:
+        after = {s["addr"]: s["served"] for s in json.loads(r.read())["replicas"]}
+    deltas = sorted(after[a] - before[a] for a in after)
+    # all 4 identical-prompt requests landed on ONE replica
+    assert deltas == [0, 4], deltas
+
+
 def test_dp_failover(dp_gateway):
     base, replicas = dp_gateway
     # kill replica 0: the gateway must retry on the survivor
