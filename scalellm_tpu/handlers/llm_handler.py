@@ -98,6 +98,11 @@ class LLMHandler:
             from scalellm_tpu.speculative.speculative_engine import SpeculativeEngine
 
             self.engine = SpeculativeEngine(engine_opts, mesh=mesh)
+        elif options.num_speculative_tokens > 0:
+            # no draft model: prompt-lookup (n-gram) speculation
+            from scalellm_tpu.speculative.ngram import NgramSpeculativeEngine
+
+            self.engine = NgramSpeculativeEngine(engine_opts, mesh=mesh)
         elif options.distributed:
             from scalellm_tpu.engine.distributed import DistributedLLMEngine
 

@@ -153,6 +153,10 @@ def test_speculative_greedy_matches_plain(tiny_model):
     expected = plain.generate(["hello world"], sp)[0].outputs[0].token_ids
     del plain
 
+    from scalellm_tpu.utils.metrics import COUNTERS
+
+    drafted0 = COUNTERS.get("num_draft_tokens_total")
+    accepted0 = COUNTERS.get("num_accepted_tokens_total")
     spec = LLM(
         tiny_model,
         draft_model=tiny_model,
@@ -168,8 +172,8 @@ def test_speculative_greedy_matches_plain(tiny_model):
     # acceptance counters: identical models accept every draft
     from scalellm_tpu.utils.metrics import COUNTERS
 
-    drafted = COUNTERS.get("num_draft_tokens_total")
-    accepted = COUNTERS.get("num_accepted_tokens_total")
+    drafted = COUNTERS.get("num_draft_tokens_total") - drafted0
+    accepted = COUNTERS.get("num_accepted_tokens_total") - accepted0
     assert drafted > 0
     assert accepted >= drafted  # k accepted + bonus each step
 
