@@ -63,6 +63,8 @@ def main():
     p.add_argument("--block-size", type=int, default=16)
     p.add_argument("--num-blocks", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--disable-async-scheduling", dest="async_sched",
+                   action="store_false", default=True)
     args = p.parse_args()
 
     plat = os.environ.get("JAX_PLATFORMS")
@@ -101,6 +103,7 @@ def main():
             max_seqs_per_batch=args.max_seqs_per_batch,
             enable_cuda_graph=args.warmup_mode != "off",
             warmup_mode=args.warmup_mode,
+            enable_async_scheduling=args.async_sched,
         )
     )
 
