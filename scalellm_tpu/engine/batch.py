@@ -127,6 +127,9 @@ class Batch:
         selected_idxes = np.zeros(S * r, dtype=np.int32)
         seq_mask = np.zeros(S, dtype=np.float32)
         needs_sample = np.zeros(S, dtype=bool)
+        # per-seq LoRA slots; attached to mi by the engine when adapters
+        # are loaded (treedef must stay stable per deployment)
+        self._lora_slots = np.zeros(S, dtype=np.int32)
 
         # Sampling params per sequence.
         temperatures = np.zeros(S, dtype=np.float32)
@@ -236,6 +239,7 @@ class Batch:
             )
             seq_mask[s] = 1.0
             needs_sample[s] = e.needs_sample
+            self._lora_slots[s] = getattr(seq, "lora_slot", 0)
 
             sp = seq.sampling_params
             temperatures[s] = sp.temperature
@@ -351,6 +355,11 @@ class Batch:
                         for j in range(min(k, top_ids.shape[1]))
                     ]
                 seq.set_prompt_logprob(p + 1, lp)
+
+    @property
+    def lora_slots(self):
+        """[S] per-sequence LoRA slots. Valid after prepare_model_inputs."""
+        return self._lora_slots
 
     @property
     def pending_fix(self):

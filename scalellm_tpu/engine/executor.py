@@ -275,6 +275,9 @@ class Executor:
             num_seqs=replicated,
             selected_idxes=replicated,
             seq_mask=replicated,
+            lora_ids=replicated
+            if getattr(self.model, "lora_meta", None) is not None
+            else None,
         )
         si_specs = SamplingInputs(
             temperatures=replicated,
@@ -538,6 +541,9 @@ class Executor:
                     num_seqs=np.ones(1, np.int32),
                     selected_idxes=np.zeros(S, np.int32),
                     seq_mask=np.zeros(S, np.float32),
+                    lora_ids=np.zeros(S, np.int32)
+                    if getattr(self.model, "lora_meta", None) is not None
+                    else None,
                 )
                 si = SamplingInputs(
                     temperatures=np.zeros(S, np.float32),

@@ -91,6 +91,9 @@ class EngineOptions:
     # reference only drops + recomputes). 0 disables; otherwise the host
     # staging-pool byte budget.
     host_swap_bytes: int = 0
+    # Multi-LoRA serving: {adapter name: HF PEFT adapter dir}. Requests pick
+    # an adapter by name (REST: the `model` field); tp_size must be 1.
+    lora_modules: "Optional[dict]" = None
 
 
 class LLMEngine:
@@ -168,6 +171,26 @@ class LLMEngine:
             self.model_args = self.model.args
             self.quant_args = qargs
             logger.info("runtime-quantized dense checkpoint to %s", options.quantize)
+        self.lora_meta = None
+        if options.lora_modules:
+            from scalellm_tpu.lora import load_lora_adapters
+
+            if self.model_args.n_experts > 0:
+                raise ValueError("LoRA on MoE models is not supported")
+            if not hasattr(self.model, "lora_meta"):
+                raise ValueError(
+                    f"model family {self.model_args.model_type!r} does not "
+                    "support LoRA adapters"
+                )
+            lora_layers, self.lora_meta = load_lora_adapters(
+                options.lora_modules, self.model
+            )
+            params["layers"].update(lora_layers)
+            self.model.lora_meta = self.lora_meta
+            logger.info(
+                "loaded %d LoRA adapter(s): %s",
+                len(self.lora_meta.names), self.lora_meta.names,
+            )
         self.executor = Executor(
             self.model,
             params,
@@ -304,6 +327,8 @@ class LLMEngine:
         mi, si, _ = batch.prepare_model_inputs(
             self.options.block_size, self._step_counter
         )
+        if self.lora_meta is not None:
+            mi.lora_ids = batch.lora_slots
         if batch.pending_fix is not None:
             mask, gather = batch.pending_fix
             mi.token_ids = _merge_pending_tokens(
@@ -335,6 +360,8 @@ class LLMEngine:
         mi, si, needs_sample = batch.prepare_model_inputs(
             self.options.block_size, self._step_counter
         )
+        if self.lora_meta is not None:
+            mi.lora_ids = batch.lora_slots
         if batch.score_top_k is not None:
             outs, scores = self.executor.execute(
                 mi, si,

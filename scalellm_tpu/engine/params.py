@@ -44,6 +44,10 @@ class ModelInputs:
     selected_idxes: jnp.ndarray
     # [S] 1.0 for real sequences, 0.0 for padding
     seq_mask: jnp.ndarray
+    # [S] LoRA adapter slot per sequence (0 = base model). None when the
+    # engine has no adapters loaded — None is an empty pytree subtree, so
+    # every existing constructor/treedef stays valid.
+    lora_ids: "jnp.ndarray | None" = None
 
 
 @jax.tree_util.register_dataclass

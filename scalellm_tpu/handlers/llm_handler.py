@@ -69,6 +69,8 @@ class LLMHandlerOptions:
     host_swap_bytes: int = 0
     # Async pipelined stepping (scheduler keeps one step in flight).
     enable_async_scheduling: bool = True
+    # Multi-LoRA: {adapter name: HF PEFT dir}; requests select by name.
+    lora_modules: "Optional[dict]" = None
 
 
 class LLMHandler:
@@ -93,7 +95,17 @@ class LLMHandler:
             quantize_lm_head=options.quantize_lm_head,
             quantize=options.quantize,
             host_swap_bytes=options.host_swap_bytes,
+            lora_modules=options.lora_modules,
         )
+        if options.lora_modules and (
+            options.draft_model_path
+            or options.num_speculative_tokens > 0
+            or options.distributed
+        ):
+            raise ValueError(
+                "LoRA adapters are not supported with speculative decoding "
+                "or multi-host serving"
+            )
         if options.draft_model_path:
             from scalellm_tpu.speculative.speculative_engine import SpeculativeEngine
 
@@ -149,10 +161,14 @@ class LLMHandler:
         priority: Priority = Priority.NORMAL,
         stream: bool = False,
         callback: OnOutput = lambda out: True,
+        lora: Optional[str] = None,
     ) -> None:
         """Validate + tokenize + enqueue, off the caller's thread
         (reference: llm_handler.cpp:286 schedule_async)."""
-        self._pool.submit(self._handle, prompt, None, sp, priority, stream, callback)
+        self._pool.submit(
+            self._handle, prompt, None, sp, priority, stream, callback,
+            None, lora,
+        )
 
     def schedule_chat_async(
         self,
@@ -162,11 +178,12 @@ class LLMHandler:
         stream: bool = False,
         callback: OnOutput = lambda out: True,
         tools=None,
+        lora: Optional[str] = None,
     ) -> None:
         """(reference: llm_handler.cpp:266 schedule_chat_async)"""
         self._pool.submit(
             self._handle, None, list(messages), sp, priority, stream, callback,
-            tools,
+            tools, lora,
         )
 
     def schedule_batch_async(
@@ -185,7 +202,8 @@ class LLMHandler:
             self.schedule_async(p, sp, priority, stream, cb)
 
     def _handle(
-        self, prompt, messages, sp, priority, stream, callback, tools=None
+        self, prompt, messages, sp, priority, stream, callback, tools=None,
+        lora=None,
     ) -> None:
         t0 = time.monotonic()
         try:
@@ -241,6 +259,15 @@ class LLMHandler:
                         StatusCode.INVALID_ARGUMENT,
                         f"invalid guided constraint: {e}",
                     )
+            lora_slot = 0
+            if lora:
+                meta = getattr(self.engine, "lora_meta", None)
+                if meta is None or lora not in meta.names:
+                    raise ValidationError(
+                        StatusCode.INVALID_ARGUMENT,
+                        f"unknown LoRA adapter {lora!r}",
+                    )
+                lora_slot = meta.slot_of(lora)
             request = Request(
                 prompt=prompt,
                 prompt_tokens=prompt_tokens,
@@ -251,6 +278,7 @@ class LLMHandler:
                 priority=priority,
                 enable_prefix_cache=self.options.enable_prefix_cache,
                 guided_fsm=guided_fsm,
+                lora_slot=lora_slot,
             )
             if not self.scheduler.schedule(request):
                 raise ValidationError(

@@ -37,6 +37,7 @@ class LLM:
         quantize_lm_head: "bool | str" = False,
         host_swap_bytes: int = 0,
         enable_async_scheduling: bool = True,
+        lora_modules=None,
         mesh=None,
     ) -> None:
         options = LLMHandlerOptions(
@@ -58,6 +59,7 @@ class LLM:
             quantize_lm_head=quantize_lm_head,
             host_swap_bytes=host_swap_bytes,
             enable_async_scheduling=enable_async_scheduling,
+            lora_modules=lora_modules,
         )
         self._handler = LLMHandler(options, mesh=mesh)
 
@@ -67,6 +69,7 @@ class LLM:
         sampling_params: Union[SamplingParams, Sequence[SamplingParams], None] = None,
         priority: Priority = Priority.NORMAL,
         wait_for_schedule: bool = True,
+        lora: "str | Sequence[str] | None" = None,
     ) -> List[RequestOutput]:
         """(reference: scalellm/llm.py:77 generate)"""
         if isinstance(prompts, str):
@@ -97,8 +100,15 @@ class LLM:
 
             return cb
 
+        loras = (
+            [lora] * len(prompts)
+            if lora is None or isinstance(lora, str)
+            else list(lora)
+        )
         for i, (p, sp) in enumerate(zip(prompts, sps)):
-            self._handler.schedule_async(p, sp, priority, False, make_cb(i))
+            self._handler.schedule_async(
+                p, sp, priority, False, make_cb(i), lora=loras[i]
+            )
         self._handler.run_until_complete()
         done.wait(timeout=60)
         return [o for o in outputs if o is not None]

@@ -117,6 +117,7 @@ class AsyncLLMEngine:
         warmup_mode: str = "fast",
         distributed: bool = False,
         enable_async_scheduling: bool = True,
+        lora_modules=None,
         mesh=None,
     ) -> None:
         options = LLMHandlerOptions(
@@ -138,6 +139,7 @@ class AsyncLLMEngine:
             warmup_mode=warmup_mode,
             distributed=distributed,
             enable_async_scheduling=enable_async_scheduling,
+            lora_modules=lora_modules,
         )
         self._handler = LLMHandler(options, mesh=mesh)
 
@@ -149,13 +151,19 @@ class AsyncLLMEngine:
         sampling_params: Optional[SamplingParams] = None,
         priority: Priority = Priority.NORMAL,
         stream: bool = False,
+        lora: Optional[str] = None,
     ) -> OutputAsyncStream:
         sp = sampling_params or SamplingParams()
         out_stream = OutputAsyncStream(asyncio.get_running_loop())
         self._handler.schedule_async(
-            prompt, sp, priority, stream, out_stream.put
+            prompt, sp, priority, stream, out_stream.put, lora=lora
         )
         return out_stream
+
+    @property
+    def lora_names(self) -> List[str]:
+        meta = getattr(self._handler.engine, "lora_meta", None)
+        return list(meta.names) if meta is not None else []
 
     async def schedule_chat_async(
         self,
@@ -164,11 +172,13 @@ class AsyncLLMEngine:
         priority: Priority = Priority.NORMAL,
         stream: bool = False,
         tools=None,
+        lora: Optional[str] = None,
     ) -> OutputAsyncStream:
         sp = sampling_params or SamplingParams()
         out_stream = OutputAsyncStream(asyncio.get_running_loop())
         self._handler.schedule_chat_async(
-            messages, sp, priority, stream, out_stream.put, tools=tools
+            messages, sp, priority, stream, out_stream.put, tools=tools,
+            lora=lora,
         )
         return out_stream
 

@@ -88,7 +88,7 @@ class BlockManager:
         ):
             # Only match the *prompt* prefix, and never the full sequence —
             # the last token's KV must be recomputed to produce logits.
-            matchable = seq.token_ids[: seq.num_prompt_tokens - 1]
+            matchable = seq.prefix_key_tokens(seq.num_prompt_tokens - 1)
             shared = self._prefix_cache.match(matchable)
             if shared:
                 seq.append_blocks(shared)
@@ -145,7 +145,10 @@ class BlockManager:
         n_cached_tokens = seq.num_kv_cache_tokens()
         n_blocks = n_cached_tokens // self._block_size
         if n_blocks:
-            self._prefix_cache.insert(seq.token_ids[: n_blocks * self._block_size], seq.blocks[:n_blocks])
+            self._prefix_cache.insert(
+                seq.prefix_key_tokens(n_blocks * self._block_size),
+                seq.blocks[:n_blocks],
+            )
 
     def release_without_caching(self, seq: "Sequence") -> None:
         """Free the sequence's blocks WITHOUT publishing to the prefix

@@ -97,7 +97,7 @@ class NativeBlockManager:
             # the Python BlockManager).
             and seq.sampling_params.prompt_logprobs is None
         ):
-            matchable = seq.token_ids[: seq.num_prompt_tokens - 1]
+            matchable = seq.prefix_key_tokens(seq.num_prompt_tokens - 1)
             shared_ids = self._store.match(matchable)
             if shared_ids:
                 seq.append_blocks(
@@ -159,7 +159,7 @@ class NativeBlockManager:
         n_blocks = n_cached_tokens // self._block_size
         if n_blocks:
             self._store.insert(
-                seq.token_ids[: n_blocks * self._block_size],
+                seq.prefix_key_tokens(n_blocks * self._block_size),
                 [b.id for b in seq.blocks[:n_blocks]],
             )
 

@@ -102,6 +102,10 @@ class DecoderModel:
         self.moe_expert_sharded = (
             args.n_experts > 0 and tp > 1 and args.n_experts % tp == 0
         )
+        # Multi-LoRA (lora/loader.py): set by the engine after loading
+        # adapters; param dicts then carry stacked lora_<target> entries and
+        # ModelInputs.lora_ids selects the per-sequence adapter slot.
+        self.lora_meta = None
 
     # ------------------------------------------------------------ param spec
 
@@ -524,6 +528,11 @@ class DecoderModel:
             layers["k_norm"] = P(None, None)
         if self.kv_quant:
             layers["kv_scales"] = P(None, None)
+        if self.lora_meta is not None:
+            # LoRA requires tp_size == 1 (loader enforces); A/B replicated
+            # across any remaining (dp) mesh axes.
+            for t in self.lora_meta.targets:
+                layers[f"lora_{t}"] = (P(None, None, None, None),) * 2
         specs = {
             "embed_tokens": P(None, None),  # replicated (allreduce-free)
             "layers": layers,
@@ -687,6 +696,28 @@ class DecoderModel:
             cos = sin = None
         windows = self._layer_windows()
         soft_cap = a.attn_logit_soft_cap if a.attn_logit_soft_cap > 0 else None
+
+        # Multi-LoRA: one-hot adapter mask per token. The delta is computed
+        # for every adapter slot on the tiny rank-r intermediate and masked
+        # — A_slots * r / N ≈ a few % of the base matmul's FLOPs, with no
+        # gather/scatter of weights (TPU-friendly dense einsums).
+        lora_oh = None
+        if self.lora_meta is not None and mi.lora_ids is not None:
+            lora_t = mi.lora_ids[mi.token_seg]  # [T]
+            lora_oh = jax.nn.one_hot(
+                lora_t, self.lora_meta.n_slots, dtype=jnp.float32
+            )
+
+        def lora_add(y, lp, name, x):
+            """y += per-token LoRA delta of projection `name` on input x."""
+            ab = lp.get("lora_" + name) if lora_oh is not None else None
+            if ab is None:
+                return y
+            A, B = ab  # [slots, K, r], [slots, r, N]
+            za = jnp.einsum(
+                "tk,akr->tar", x.astype(jnp.float32), A
+            ) * lora_oh[:, :, None]
+            return y + jnp.einsum("tar,arn->tn", za, B)
         if self.kv_pack > 1:
             # Owner slot of each q head inside its packed stored KV head:
             # q head h reads kv head (h // gqa_group), stored at slot
@@ -730,6 +761,8 @@ class DecoderModel:
                 if a.mlp_bias:
                     g = g + lp["gate_bias"].astype(jnp.float32)
                     u = u + lp["up_bias"].astype(jnp.float32)
+                g = lora_add(g, lp, "gate_proj", x)
+                u = lora_add(u, lp, "up_proj", x)
                 m = act_with_mul(a.hidden_act, g, u).astype(x.dtype)
             elif a.mlp_gated:
                 gu = self._proj(x, lp["gate_up_proj"])
@@ -737,13 +770,17 @@ class DecoderModel:
                     gu = gu[:, : 2 * F_local] + lp["gate_up_bias"].astype(jnp.float32)
                 # explicit widths: tiled quant outputs may carry N padding
                 g, u = gu[:, :F_local], gu[:, F_local : 2 * F_local]
+                g = lora_add(g, lp, "gate_proj", x)
+                u = lora_add(u, lp, "up_proj", x)
                 m = act_with_mul(a.hidden_act, g, u).astype(x.dtype)
             else:
                 u = self._proj(x, lp["up_proj"])[:, :F_local]
                 if a.mlp_bias:
                     u = u + lp["up_bias"].astype(jnp.float32)
+                u = lora_add(u, lp, "up_proj", x)
                 m = ACT2FN[a.hidden_act](u).astype(x.dtype)
-            return self._proj(m, lp["down_proj"])[:, : a.hidden_size]
+            d = self._proj(m, lp["down_proj"])[:, : a.hidden_size]
+            return lora_add(d, lp, "down_proj", m)
 
         def mlp(lp, x):
             if a.n_experts > 0:
@@ -807,6 +844,9 @@ class DecoderModel:
                 k = qkv[:, q_n : q_n + kv_n]
                 # explicit end: tiled quant outputs may carry trailing N padding
                 v = qkv[:, q_n + kv_n : q_n + 2 * kv_n]
+            q = lora_add(q, lp, "q_proj", x)
+            k = lora_add(k, lp, "k_proj", x)
+            v = lora_add(v, lp, "v_proj", x)
             T = q.shape[0]
             q = q.astype(h.dtype).reshape(T, H_local, Dh)
             k = k.astype(h.dtype).reshape(T, Hkv_local, Dh)
@@ -872,9 +912,9 @@ class DecoderModel:
                 )
             elif self.kv_head_dim != Dh:
                 o = o[..., :Dh]
-            o = self._proj(o.reshape(T, H_local * Dh), lp["o_proj"])[
-                :, : a.hidden_size
-            ]
+            o_in = o.reshape(T, H_local * Dh)
+            o = self._proj(o_in, lp["o_proj"])[:, : a.hidden_size]
+            o = lora_add(o, lp, "o_proj", o_in)
             if tp_axis is not None:
                 o = lax.psum(o, tp_axis)
             if a.o_proj_bias:

@@ -52,8 +52,10 @@ class Request:
         request_id: Optional[str] = None,
         enable_prefix_cache: bool = True,
         guided_fsm=None,  # Optional[constrained.TokenFsm], shared by sequences
+        lora_slot: int = 0,  # LoRA adapter slot (0 = base model)
     ):
         self.guided_fsm = guided_fsm
+        self.lora_slot = lora_slot
         self.id = request_id or _gen_request_id()
         self.prompt = prompt
         self.prompt_tokens = list(prompt_tokens)
@@ -95,6 +97,7 @@ class Request:
             echo=self.sampling_params.echo,
             guided=guided,
         )
+        seq.lora_slot = self.lora_slot
         seq.request = self  # backref for O(1) scheduler lookups
         return seq
 

@@ -110,6 +110,19 @@ class Sequence:
         # Row of this sequence in the in-flight batch's sampled outputs
         # (device-side token feedback gathers from it).
         self._pending_src = -1
+        # LoRA adapter slot (0 = base model); set by the parent Request.
+        self.lora_slot = 0
+
+    def prefix_key_tokens(self, end: int) -> List[int]:
+        """Token key for prefix-cache match/insert over positions [0, end).
+        LoRA sequences salt the key with the adapter slot (high bits above
+        any real vocab id) — their KV differs from the base model's, so
+        cross-adapter sharing would serve WRONG cached KV."""
+        toks = self._token_ids[:end]
+        if self.lora_slot:
+            salt = self.lora_slot << 24
+            return [t | salt for t in toks]
+        return toks
 
     # ------------------------------------------------------------------ tokens
 

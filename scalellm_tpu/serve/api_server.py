@@ -44,8 +44,14 @@ class ApiServer:
     def __init__(self, engine: AsyncLLMEngine, model_name: str):
         self.engine = engine
         self.model_name = model_name
+        # LoRA adapters served alongside the base model; requests select
+        # one with the OpenAI `model` field.
+        self.lora_names = set(getattr(engine, "lora_names", []) or [])
         self.http = HttpServer()
         self._register()
+
+    def _lora_of(self, body) -> "str | None":
+        return body.model if body.model in self.lora_names else None
 
     def _register(self):
         http = self.http
@@ -92,11 +98,12 @@ class ApiServer:
                     "object": "list",
                     "data": [
                         {
-                            "id": self.model_name,
+                            "id": name,
                             "object": "model",
                             "created": now(),
                             "owned_by": "scalellm_tpu",
                         }
+                        for name in [self.model_name, *sorted(self.lora_names)]
                     ],
                 }
             )
@@ -113,11 +120,15 @@ class ApiServer:
                 if body.stream:
                     sse = SSEResponse()
                     asyncio.get_running_loop().create_task(
-                        generate_completion_stream(self.engine, body, self.model_name, sse)
+                        generate_completion_stream(
+                            self.engine, body, self.model_name, sse,
+                            lora=self._lora_of(body),
+                        )
                     )
                     return sse
                 return await generate_completion_response(
-                    self.engine, body, self.model_name
+                    self.engine, body, self.model_name,
+                    lora=self._lora_of(body),
                 )
             except ValidationError as e:
                 return Response.json(error_json(e.message), status_to_http(e.code))
@@ -134,10 +145,16 @@ class ApiServer:
                 if body.stream:
                     sse = SSEResponse()
                     asyncio.get_running_loop().create_task(
-                        generate_chat_stream(self.engine, body, self.model_name, sse)
+                        generate_chat_stream(
+                            self.engine, body, self.model_name, sse,
+                            lora=self._lora_of(body),
+                        )
                     )
                     return sse
-                return await generate_chat_response(self.engine, body, self.model_name)
+                return await generate_chat_response(
+                    self.engine, body, self.model_name,
+                    lora=self._lora_of(body),
+                )
             except ValidationError as e:
                 return Response.json(error_json(e.message), status_to_http(e.code))
 
@@ -167,6 +184,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--disable-async-scheduling", dest="enable_async_scheduling",
                    action="store_false", default=True,
                    help="disable pipelined (one step in flight) scheduling")
+    p.add_argument("--lora-modules", nargs="+", default=None,
+                   metavar="NAME=PATH",
+                   help="LoRA adapters served alongside the base model; "
+                   "requests select one via the OpenAI `model` field")
     p.add_argument("--max-seqs-per-batch", type=int, default=128)
     p.add_argument("--num-speculative-tokens", type=int, default=0)
     p.add_argument("--draft-model", type=str, default=None)
@@ -249,6 +270,8 @@ def main(argv: Optional[list] = None):
         warmup_mode=args.warmup_mode,
         distributed=distributed,
         enable_async_scheduling=args.enable_async_scheduling,
+        lora_modules=dict(m.split("=", 1) for m in args.lora_modules)
+        if args.lora_modules else None,
     )
     model_name = args.model_id or args.model.rstrip("/").split("/")[-1]
     server = ApiServer(engine, model_name)

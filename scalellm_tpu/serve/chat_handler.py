@@ -56,13 +56,14 @@ def _finished_message(req: ChatCompletionRequest, text: str):
 
 
 async def generate_chat_response(
-    engine: AsyncLLMEngine, req: ChatCompletionRequest, model_name: str
+    engine: AsyncLLMEngine, req: ChatCompletionRequest, model_name: str,
+    lora=None,
 ) -> Response:
     sp = req.to_sampling_params()
     request_id = f"chatcmpl-{uuid.uuid4().hex[:24]}"
     stream = await engine.schedule_chat_async(
         _messages(req), sp, priority=req.to_priority(), stream=False,
-        tools=_req_tools(req),
+        tools=_req_tools(req), lora=lora,
     )
     choices = []
     usage = {}
@@ -102,7 +103,8 @@ async def generate_chat_response(
 
 
 async def generate_chat_stream(
-    engine: AsyncLLMEngine, req: ChatCompletionRequest, model_name: str, sse: SSEResponse
+    engine: AsyncLLMEngine, req: ChatCompletionRequest, model_name: str,
+    sse: SSEResponse, lora=None,
 ) -> None:
     sp = req.to_sampling_params()
     request_id = f"chatcmpl-{uuid.uuid4().hex[:24]}"
@@ -123,7 +125,7 @@ async def generate_chat_stream(
     try:
         stream = await engine.schedule_chat_async(
             _messages(req), sp, priority=req.to_priority(), stream=True,
-            tools=_req_tools(req),
+            tools=_req_tools(req), lora=lora,
         )
         first = True
 

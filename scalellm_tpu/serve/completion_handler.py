@@ -58,7 +58,8 @@ def _choice(seq_out, include_logprobs: bool, prompt_logprobs=None) -> dict:
 
 
 async def generate_completion_response(
-    engine: AsyncLLMEngine, req: CompletionRequest, model_name: str
+    engine: AsyncLLMEngine, req: CompletionRequest, model_name: str,
+    lora=None,
 ) -> Response:
     prompts: List[str] = req.prompt if isinstance(req.prompt, list) else [req.prompt]
     sp = req.to_sampling_params()
@@ -68,7 +69,9 @@ async def generate_completion_response(
     all_choices = []
     usage = {"prompt_tokens": 0, "completion_tokens": 0, "total_tokens": 0}
     for prompt in prompts:
-        stream = await engine.schedule_async(prompt, sp, priority=req.to_priority(), stream=False)
+        stream = await engine.schedule_async(
+            prompt, sp, priority=req.to_priority(), stream=False, lora=lora
+        )
         async for out in stream:
             if out.finished:
                 for so in out.outputs:
@@ -95,14 +98,17 @@ async def generate_completion_response(
 
 
 async def generate_completion_stream(
-    engine: AsyncLLMEngine, req: CompletionRequest, model_name: str, sse: SSEResponse
+    engine: AsyncLLMEngine, req: CompletionRequest, model_name: str,
+    sse: SSEResponse, lora=None,
 ) -> None:
     prompt = req.prompt[0] if isinstance(req.prompt, list) else req.prompt
     sp = req.to_sampling_params()
     request_id = f"cmpl-{uuid.uuid4().hex[:24]}"
     include_lp = req.logprobs is not None
     try:
-        stream = await engine.schedule_async(prompt, sp, priority=req.to_priority(), stream=True)
+        stream = await engine.schedule_async(
+            prompt, sp, priority=req.to_priority(), stream=True, lora=lora
+        )
         async for out in stream:
             for so in out.outputs:
                 chunk = {
