@@ -126,13 +126,21 @@ class LLMServicer:
 
     # -------------------------------------------------------------- completion
 
+    def _lora_of(self, model_field: str):
+        """The OpenAI `model` field selects a LoRA adapter by name."""
+        meta = getattr(self._handler.engine, "lora_meta", None)
+        if meta is not None and model_field in meta.names:
+            return model_field
+        return None
+
     def complete(self, request: llm_pb2.CompletionRequest, context) -> Iterator[llm_pb2.CompletionResponse]:
         sp = _to_sampling_params(request.sampling)
         stream = request.stream
         rid = f"cmpl-{uuid.uuid4().hex[:24]}"
         cq = _CallQueue(context)
         self._handler.schedule_async(
-            request.prompt, sp, Priority(request.priority or 1), stream, cq.put
+            request.prompt, sp, Priority(request.priority or 1), stream, cq.put,
+            lora=self._lora_of(request.model),
         )
         for out in cq:
             if out.status is not None and not out.status.ok:
@@ -214,6 +222,7 @@ class LLMServicer:
         self._handler.schedule_chat_async(
             messages, sp, Priority(request.priority or 1), stream, cq.put,
             tools=tools if tools_active else None,
+            lora=self._lora_of(request.model),
         )
         first = True
         buffers: dict = {}
@@ -366,6 +375,8 @@ def main(argv: Optional[list] = None):
         num_handling_threads=args.num_handling_threads,
         tp_size=args.tp_size,
         num_blocks=args.num_blocks,
+        lora_modules=dict(m.split("=", 1) for m in args.lora_modules)
+        if getattr(args, "lora_modules", None) else None,
     )
     handler = LLMHandler(options)
     handler.start()
