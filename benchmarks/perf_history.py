@@ -1,0 +1,128 @@
+"""Perf CI — track bench.py metrics across rounds and flag regressions.
+
+Reads every committed ``BENCH_r*.json`` (driver-recorded bench.py output per
+round; the ``tail`` field holds the raw JSON lines) and prints a per-metric
+trend table. Exits non-zero when the latest round regressed a metric by more
+than ``--tolerance`` (default 5%) vs the best prior round, so CI catches perf
+rot the same way it catches test failures (reference analog: the reference
+repo has no automated perf tracking — this is beyond it).
+
+Usage:
+    python benchmarks/perf_history.py [--tolerance 0.05] [--markdown out.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import re
+import sys
+from typing import Dict, List, Tuple
+
+
+def parse_bench_file(path: str) -> Dict[str, dict]:
+    """BENCH_rNN.json → {metric: line_dict} (last occurrence wins)."""
+    with open(path) as f:
+        rec = json.load(f)
+    metrics: Dict[str, dict] = {}
+    for line in (rec.get("tail") or "").splitlines():
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            d = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if isinstance(d, dict) and "metric" in d and "value" in d:
+            metrics[d["metric"]] = d
+    return metrics
+
+
+def load_history(root: str) -> List[Tuple[int, Dict[str, dict]]]:
+    out = []
+    for path in sorted(glob.glob(os.path.join(root, "BENCH_r*.json"))):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        out.append((int(m.group(1)), parse_bench_file(path)))
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tolerance", type=float, default=0.05,
+                    help="fractional regression allowed vs best prior round")
+    ap.add_argument("--markdown", default=None,
+                    help="also write a markdown trend table to this path")
+    ap.add_argument("--root", default=os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    args = ap.parse_args()
+
+    history = load_history(args.root)
+    if not history:
+        print("no BENCH_r*.json files found — nothing to check")
+        return 0
+
+    all_metrics: List[str] = []
+    for _, metrics in history:
+        for name in metrics:
+            if name not in all_metrics:
+                all_metrics.append(name)
+
+    latest_round, latest = history[-1]
+    rows = []
+    regressions = []
+    for name in all_metrics:
+        series = [(r, m[name]["value"]) for r, m in history if name in m]
+        cur = latest.get(name, {}).get("value")
+        prior = [v for r, v in series if r != latest_round]
+        best_prior = max(prior) if prior else None
+        status = ""
+        if cur is None:
+            status = "MISSING"  # metric disappeared from the latest round
+            regressions.append((name, "missing in latest round"))
+        elif best_prior is not None:
+            delta = (cur - best_prior) / best_prior
+            status = f"{delta:+.1%}"
+            if delta < -args.tolerance:
+                regressions.append(
+                    (name, f"{cur} vs best prior {best_prior} ({delta:+.1%})")
+                )
+        vsb = latest.get(name, {}).get("vs_baseline")
+        rows.append((name, series, cur, status, vsb))
+
+    width = max(len(n) for n in all_metrics)
+    print(f"{'metric':<{width}}  latest(r{latest_round:02d})  trend  vs_best_prior  vs_baseline")
+    for name, series, cur, status, vsb in rows:
+        trend = " ".join(f"r{r:02d}:{v:g}" for r, v in series)
+        print(f"{name:<{width}}  {cur if cur is not None else '—':>10}  "
+              f"[{trend}]  {status:>8}  {vsb if vsb is not None else ''}")
+
+    if args.markdown:
+        with open(args.markdown, "w") as f:
+            f.write("# Bench history (driver-run, real TPU)\n\n")
+            f.write("| metric | " + " | ".join(
+                f"r{r:02d}" for r, _ in history) + " | vs_baseline |\n")
+            f.write("|" + "---|" * (len(history) + 2) + "\n")
+            for name, series, cur, status, vsb in rows:
+                by_round = dict(series)
+                cells = " | ".join(
+                    f"{by_round[r]:g}" if r in by_round else "—"
+                    for r, _ in history)
+                f.write(f"| {name} | {cells} | "
+                        f"{vsb if vsb is not None else '—'} |\n")
+
+    if regressions:
+        print("\nREGRESSIONS (beyond tolerance "
+              f"{args.tolerance:.0%}):", file=sys.stderr)
+        for name, why in regressions:
+            print(f"  {name}: {why}", file=sys.stderr)
+        return 1
+    print("\nno regressions")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
