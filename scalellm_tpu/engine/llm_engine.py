@@ -60,6 +60,10 @@ class EngineOptions:
     num_blocks: int = 0
     # Tensor-parallel degree (devices per replica).
     tp_size: int = 1
+    # Megatron-style sequence parallelism over the tp axis (dense models,
+    # no LoRA): norms/residuals run on a T/tp token shard; AR becomes
+    # AG + RS (same bytes) and the elementwise HBM traffic drops tp-fold.
+    sequence_parallel: bool = False
     # Warm up compile cache at init. warmup_mode "fast" = 2 buckets,
     # "full" = every bucket reachable under the serving envelope (zero
     # mid-serve compiles; pair with the persistent compile cache).
@@ -148,6 +152,7 @@ class LLMEngine:
         parallel = ParallelConfig(
             tp_axis="tp" if (mesh is not None and tp > 1) else None,
             tp_size=tp if mesh is not None else 1,
+            sp=options.sequence_parallel,
         )
         factory = ModelRegistry.get_causal_lm_factory(self.model_args.model_type)
         if factory is None:

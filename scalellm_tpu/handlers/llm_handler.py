@@ -56,6 +56,7 @@ class LLMHandlerOptions:
     num_speculative_tokens: int = 0
     num_handling_threads: int = 4
     tp_size: int = 1
+    sequence_parallel: bool = False  # Megatron SP over the tp axis
     num_blocks: int = 0  # direct override (tests)
     max_context_len: int = 0  # 0 = model's max_position_embeddings
     kv_cache_dtype: str = "auto"  # "auto" | "int8"
@@ -84,6 +85,7 @@ class LLMHandler:
             enable_prefix_cache=options.enable_prefix_cache,
             num_blocks=options.num_blocks,
             tp_size=options.tp_size,
+            sequence_parallel=options.sequence_parallel,
             warmup=options.enable_cuda_graph,
             warmup_mode=options.warmup_mode,
             max_tokens_per_batch=options.max_tokens_per_batch,

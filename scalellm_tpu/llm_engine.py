@@ -111,6 +111,7 @@ class AsyncLLMEngine:
         num_handling_threads: int = 4,
         draft_model: Optional[str] = None,
         tp_size: int = 1,
+        sequence_parallel: bool = False,
         num_blocks: int = 0,
         kv_cache_dtype: str = "auto",
         quantize: str = "",
@@ -133,6 +134,7 @@ class AsyncLLMEngine:
             num_speculative_tokens=num_speculative_tokens,
             num_handling_threads=num_handling_threads,
             tp_size=tp_size,
+            sequence_parallel=sequence_parallel,
             num_blocks=num_blocks,
             kv_cache_dtype=kv_cache_dtype,
             quantize=quantize,

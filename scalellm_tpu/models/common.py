@@ -684,11 +684,31 @@ class DecoderModel:
         Dh = a.head_dim
         sm_scale = self._sm_scale()
 
-        h = params["embed_tokens"][mi.token_ids]  # [T, D]
+        # Sequence parallelism (ParallelConfig.sp): per-token work (embedding,
+        # norms, residuals) runs on a T/tp token shard; activations gather to
+        # full T only for the projections + attention. Static gate: dense
+        # models, no LoRA, and the (static) T bucket must divide by tp.
+        T_full = mi.token_ids.shape[0]
+        sp = (
+            self.parallel.sp
+            and tp_axis is not None
+            and a.n_experts == 0
+            and self.lora_meta is None
+            and T_full % self.parallel.tp_size == 0
+        )
+        if sp:
+            Ts = T_full // self.parallel.tp_size
+            sp_rank = lax.axis_index(tp_axis)
+            tok_ids = lax.dynamic_slice_in_dim(mi.token_ids, sp_rank * Ts, Ts)
+            pos_ids = lax.dynamic_slice_in_dim(mi.positions, sp_rank * Ts, Ts)
+        else:
+            tok_ids, pos_ids = mi.token_ids, mi.positions
+
+        h = params["embed_tokens"][tok_ids]  # [T, D] ([Ts, D] under sp)
         if a.normalize_embedding:
             h = (h.astype(jnp.float32) * math.sqrt(a.hidden_size)).astype(h.dtype)
         if a.pos_embedding_type == "learned":
-            h = h + params["embed_positions"][mi.positions]
+            h = h + params["embed_positions"][pos_ids]
 
         if a.pos_embedding_type == "rope":
             cos, sin = compute_cos_sin(a, mi.positions)
@@ -782,6 +802,23 @@ class DecoderModel:
             d = self._proj(m, lp["down_proj"])[:, : a.hidden_size]
             return lora_add(d, lp, "down_proj", m)
 
+        def sp_combine(y):
+            """Row-parallel combine: plain TP psums (replicated result); SP
+            reduce_scatters over the token dim (sharded result)."""
+            if tp_axis is None:
+                return y
+            if sp:
+                return lax.psum_scatter(
+                    y, tp_axis, scatter_dimension=0, tiled=True
+                )
+            return lax.psum(y, tp_axis)
+
+        def sp_gather(x):
+            """Column-parallel input: SP gathers the token shard to full T."""
+            if sp:
+                return lax.all_gather(x, tp_axis, axis=0, tiled=True)
+            return x
+
         def mlp(lp, x):
             if a.n_experts > 0:
                 from scalellm_tpu.layers.moe import moe_mlp
@@ -809,8 +846,7 @@ class DecoderModel:
                     m = lax.psum(m, tp_axis)
                 return m
             m = dense_ffn(lp, x)
-            if tp_axis is not None:
-                m = lax.psum(m, tp_axis)
+            m = sp_combine(m)
             if a.mlp_bias:
                 # Row-parallel bias is added once, after the psum.
                 m = m + lp["down_bias"].astype(jnp.float32)
@@ -826,6 +862,7 @@ class DecoderModel:
 
             # ---- attention (fused qkv: one projection launch)
             x = self._norm(h, lp["input_norm"], lp.get("input_norm_bias"))
+            x = sp_gather(x)  # SP: column-parallel qkv needs full T
             q_n = H_local * Dh
             kv_n = Hkv_local * Dh
             if "qkv_proj" not in lp:  # desc_act: unfused projections
@@ -915,8 +952,7 @@ class DecoderModel:
             o_in = o.reshape(T, H_local * Dh)
             o = self._proj(o_in, lp["o_proj"])[:, : a.hidden_size]
             o = lora_add(o, lp, "o_proj", o_in)
-            if tp_axis is not None:
-                o = lax.psum(o, tp_axis)
+            o = sp_combine(o)
             if a.o_proj_bias:
                 o = o + lp["o_bias"].astype(jnp.float32)
 
@@ -932,7 +968,7 @@ class DecoderModel:
 
             # ---- mlp
             x = self._norm(h, lp["post_norm"], lp.get("post_norm_bias"))
-            m = mlp(lp, x)
+            m = mlp(lp, sp_gather(x))
             if a.residual_post_layernorm:
                 m = self._norm(m.astype(h.dtype), lp["post_ffw_norm"])
             h = h + m.astype(h.dtype)
@@ -944,6 +980,9 @@ class DecoderModel:
         h, new_kv = lax.scan(layer_fn, h, xs)
 
         h = self._norm(h, params["final_norm"], params.get("final_norm_bias"))
+        if sp:
+            # Back to the replicated full-T layout callers expect.
+            h = lax.all_gather(h, tp_axis, axis=0, tiled=True)
         if all_hidden:
             return h, new_kv
         hidden_sel = h[mi.selected_idxes]  # [S, D]

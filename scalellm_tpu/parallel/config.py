@@ -24,6 +24,13 @@ class ParallelConfig:
     tp_size: int = 1
     dp_size: int = 1
     ep_size: int = 1
+    # Megatron-style sequence parallelism over the tp axis: norms/residuals/
+    # embedding are sharded over the TOKEN dim; activations are all_gathered
+    # before column-parallel projections and reduce_scattered (psum_scatter)
+    # after row-parallel ones. Same bytes on the wire as plain TP's psum
+    # (AG + RS = AR) but the elementwise/norm HBM traffic drops by tp_size —
+    # a long-prefill win. Dense models only (MoE/LoRA paths keep plain TP).
+    sp: bool = False
 
     @property
     def is_parallel(self) -> bool:

@@ -193,6 +193,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--draft-model", type=str, default=None)
     p.add_argument("--num-handling-threads", type=int, default=4)
     p.add_argument("--tp-size", type=int, default=1)
+    p.add_argument("--sequence-parallel", action="store_true", default=False,
+                   help="Megatron SP over the tp axis (dense models)")
     p.add_argument("--num-blocks", type=int, default=0)
     p.add_argument("--kv-cache-dtype", type=str, default="auto", choices=["auto", "int8"])
     p.add_argument("--quantize", type=str, default="", choices=["", "int4", "int8"],
@@ -241,6 +243,7 @@ def main(argv: Optional[list] = None):
                 enable_prefix_cache=args.enable_prefix_cache,
                 num_blocks=args.num_blocks,
                 tp_size=args.tp_size,
+                sequence_parallel=args.sequence_parallel,
                 warmup=args.enable_cuda_graph,
                 warmup_mode=args.warmup_mode,
                 max_tokens_per_batch=args.max_tokens_per_batch,
@@ -264,6 +267,7 @@ def main(argv: Optional[list] = None):
         draft_model=args.draft_model,
         num_handling_threads=args.num_handling_threads,
         tp_size=args.tp_size,
+        sequence_parallel=args.sequence_parallel,
         num_blocks=args.num_blocks,
         kv_cache_dtype=args.kv_cache_dtype,
         quantize=args.quantize,

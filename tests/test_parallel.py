@@ -15,7 +15,7 @@ def _mesh(tp):
     return Mesh(np.array(devices).reshape(1, tp), ("dp", "tp"))
 
 
-def _greedy_step(model_dir, mesh, tp):
+def _greedy_step(model_dir, mesh, tp, sp=False):
     import jax
 
     from scalellm_tpu.engine.batch import Batch
@@ -27,7 +27,7 @@ def _greedy_step(model_dir, mesh, tp):
     loader = HFModelLoader(model_dir)
     loader.model_args.dtype = "float32"
     parallel = ParallelConfig(
-        tp_axis="tp" if tp > 1 else None, tp_size=tp if mesh else 1
+        tp_axis="tp" if tp > 1 else None, tp_size=tp if mesh else 1, sp=sp
     )
     factory = ModelRegistry.get_causal_lm_factory(loader.model_type)
     model = factory(loader.model_args, parallel)
@@ -67,6 +67,16 @@ def test_tp_matches_single_device(tmp_path, family, tp):
     d = _make_zoo_checkpoint(tmp_path, family)
     single = _greedy_step(d, None, 1)
     sharded = _greedy_step(d, _mesh(tp), tp)
+    assert single == sharded
+
+
+@pytest.mark.parametrize("family,tp", [("llama", 4), ("qwen2", 2)])
+def test_sequence_parallel_matches_single_device(tmp_path, family, tp):
+    """Megatron SP (token-sharded norms/residuals, AG+RS instead of AR)
+    must be numerically equivalent to single-device execution."""
+    d = _make_zoo_checkpoint(tmp_path, family)
+    single = _greedy_step(d, None, 1)
+    sharded = _greedy_step(d, _mesh(tp), tp, sp=True)
     assert single == sharded
 
 
