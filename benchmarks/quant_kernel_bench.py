@@ -23,22 +23,36 @@ def bench_shape(name, M, K, N, bits, iters=64, block_n=None, block_k=None):
     import jax
     import jax.numpy as jnp
 
-    from scalellm_tpu.ops.quant_matmul import quant_matmul
+    from scalellm_tpu.ops.quant_matmul import quant_matmul, tile_quant_layout
 
     G = 128
     pack = 2 if bits == 4 else 1
-    qw = jnp.zeros((K // pack, N), jnp.int8)
-    sc = jnp.zeros((K // G, N), jnp.float32)
-    zp = jnp.zeros((K // G, N), jnp.int8)
+    qw = np.zeros((K // pack, N), np.int8)
+    sc = np.zeros((K // G, N), np.float32)
+    zp = np.zeros((K // G, N), np.int8)
     kw = {}
     if block_n:
         kw["block_n"] = block_n
     if block_k:
         kw["block_k"] = block_k
+    variant = os.environ.get("QKB_VARIANT", "")
+    if variant:
+        kw["variant"] = variant
+    symmetric = bool(int(os.environ.get("QKB_SYM", "1")))
+    if int(os.environ.get("QKB_TILED", "1")):
+        W = int(os.environ.get("QUANT_TILE_N", "2048"))
+        qw, sc, zp = (
+            jnp.asarray(tile_quant_layout(a, W)) for a in (qw, sc, zp)
+        )
+    else:
+        qw, sc, zp = jnp.asarray(qw), jnp.asarray(sc), jnp.asarray(zp)
 
     def loop(n_iters):
         def body(x, _):
-            y = quant_matmul(x, qw, sc, zp, bits=bits, **kw)
+            y = quant_matmul(
+                x, qw, sc, None if symmetric else zp,
+                bits=bits, symmetric=symmetric, **kw
+            )[:, :N]
             # feed a K-sized slice back (keeps the chain serial)
             reps = (K + N - 1) // N
             xn = jnp.tile(y, (1, reps))[:, :K].astype(jnp.bfloat16)

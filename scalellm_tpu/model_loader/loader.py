@@ -129,7 +129,9 @@ class HFModelLoader:
             if leaf in ("qweight", "zeros"):
                 return np.int8
             if leaf == "scales":
-                return np.float32
+                from scalellm_tpu.ops.quant_matmul import scales_np_dtype
+
+                return scales_np_dtype()
             if leaf in ("g_idx", "perm"):
                 return np.int32
             return np_dtype

@@ -578,7 +578,11 @@ class DecoderModel:
             if name == "zeros":
                 return jnp.zeros(path_shape, dtype=jnp.int8)
             if name == "scales":
-                return jnp.full(path_shape, scale / 8.0, dtype=jnp.float32)
+                from scalellm_tpu.ops.quant_matmul import scales_np_dtype
+
+                return jnp.full(
+                    path_shape, scale / 8.0, dtype=jnp.dtype(scales_np_dtype())
+                )
             if name == "kv_scales":
                 return jnp.full(path_shape, self.args.kv_scale, dtype=jnp.float32)
             if name == "perm":

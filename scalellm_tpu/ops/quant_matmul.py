@@ -99,9 +99,11 @@ def quantize_int4(
     w = np.ascontiguousarray(w)
     g = w.reshape(K // group_size, group_size, N)
     max_abs = np.ascontiguousarray(np.abs(g).max(axis=1))  # [K/G, N]
-    scales = (max_abs / 7.0).astype(np.float32)
-    scales = np.maximum(scales, 1e-10)
-    q = np.clip(np.round(g / scales[:, None, :]), -8, 7)
+    # Round-trip through the storage dtype BEFORE quantizing so the grid
+    # matches the scale the kernel will actually apply.
+    scales = np.maximum((max_abs / 7.0).astype(np.float32), 1e-10)
+    scales = scales.astype(scales_np_dtype())
+    q = np.clip(np.round(g / scales[:, None, :].astype(np.float32)), -8, 7)
     q_unsigned = (q + 8).astype(np.uint8).reshape(K, N)
     # canonical zero point: unsigned 8 → signed 0
     zeros = np.zeros((K // group_size, N), dtype=np.int8)
@@ -117,12 +119,28 @@ def quantize_int8(
     g = w.reshape(K // group_size, group_size, N)
     max_abs = np.ascontiguousarray(np.abs(g).max(axis=1))
     scales = np.maximum((max_abs / 127.0).astype(np.float32), 1e-10)
-    q = np.clip(np.round(g / scales[:, None, :]), -127, 127).astype(np.int8)
+    scales = scales.astype(scales_np_dtype())
+    q = np.clip(
+        np.round(g / scales[:, None, :].astype(np.float32)), -127, 127
+    ).astype(np.int8)
     zeros = np.zeros((K // group_size, N), dtype=np.int8)
     return q.reshape(K, N), scales, zeros
 
 
 DEFAULT_TILE_N = 2048
+
+
+def scales_np_dtype():
+    """Storage dtype for per-group scales. bf16 halves the scale stream
+    (~6% of the weight bytes at G=128 with f32) and is lossless vs GPTQ/AWQ
+    checkpoints, which store scales as fp16; kernels upcast to f32 before
+    applying. Env QUANT_SCALES_DTYPE=float32 reverts for A/B."""
+    import os
+
+    import ml_dtypes
+
+    name = os.environ.get("QUANT_SCALES_DTYPE", "bfloat16")
+    return {"bfloat16": ml_dtypes.bfloat16, "float32": np.float32}[name]
 
 
 def tile_quant_layout(
@@ -305,12 +323,15 @@ def _w4a8_kernel(x_ref, qw_ref, sc_ref, *rest, n_k: int, bits: int, symmetric: b
     The v5e MXU issues int8×int8 dots at 2× the bf16 rate (394 vs 197
     TOPS), and mixed bf16×int4 dots run on the bf16 path — so when the
     M=1 bottleneck is dot issue rate (measured: see _gemv_kernel note),
-    integer dots can double it. The caller quantizes activations to int8
-    dynamically PER ROW (x ≈ xq * s_x, s_x = absmax/127) and applies s_x
-    to the kernel output — the kernel is linear in x, so activation
-    scaling never enters it. In-kernel the structure matches
-    _group_kernel: per-group int dots (int32 accumulation), post-dot
-    group scaling, Marlin-style zero correction (xsum in int32).
+    integer dots can double it. Activations arrive bf16 and are quantized
+    to int8 IN-KERNEL, per (row, k-block): x_blk ≈ xq * s_x with
+    s_x = absmax/127 over the block. Per-block scales are finer-grained
+    than per-row (slightly more accurate) and keep the whole quantize →
+    int-dot → rescale chain inside one pallas_call — no XLA-side quantize
+    or output-rescale launches between projections. In-kernel the dot
+    structure matches _group_kernel: per-group int dots (int32
+    accumulation), post-dot group scaling, Marlin-style zero correction
+    (xsum in int32).
     """
     if symmetric:
         o_ref, acc_ref = rest
@@ -326,24 +347,39 @@ def _w4a8_kernel(x_ref, qw_ref, sc_ref, *rest, n_k: int, bits: int, symmetric: b
     # Mosaic's integer matmul path needs BOTH operands int8 ("Mix int/int
     # - NYI" on int8 x int4) — widen the int4 tile; the convert is VPU work
     # overlapped with the dots, and the int8 dot still runs at 2x bf16 rate.
-    w = _unpack_tile(qw_ref, bits).astype(jnp.int8)  # [BK, BN]
+    # QUANT_W4A8_WIDEN probes alternatives: "bf16" routes the widen through
+    # the free int4→bf16 hardware convert; "skip" feeds the PACKED bytes
+    # duplicated (WRONG VALUES — cost isolation only).
+    widen = _env_str("QUANT_W4A8_WIDEN", "direct")
+    if bits == 4 and widen == "skip":
+        p = qw_ref[0] if qw_ref.ndim == 3 else qw_ref[:]  # [BK/2, BN] packed
+        w = jnp.concatenate([p, p], axis=0)
+    elif bits == 4 and widen == "bf16":
+        w = _unpack_tile(qw_ref, bits).astype(jnp.bfloat16).astype(jnp.int8)
+    else:
+        w = _unpack_tile(qw_ref, bits).astype(jnp.int8)  # [BK, BN]
     bk, bn = w.shape
     s = _aux_tile(sc_ref).astype(jnp.float32)  # [n_g, BN]
     n_g = s.shape[0]
     G = bk // n_g
     m = x_ref.shape[0]
+    xf = x_ref[:].astype(jnp.float32)  # [M, BK] bf16 → f32
+    sx = jnp.maximum(
+        jnp.max(jnp.abs(xf), axis=1, keepdims=True), 1e-10
+    ) / 127.0  # [M, 1] per-(row, k-block)
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
     w = w.reshape(n_g, G, bn)
-    x = x_ref[:].reshape(m, n_g, G).transpose(1, 0, 2)  # int8 [n_g, M, G]
+    x = xq.reshape(m, n_g, G).transpose(1, 0, 2)  # int8 [n_g, M, G]
     dots = jax.lax.dot_general(
         x, w, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.int32
     ).astype(jnp.float32)  # [n_g, M, BN]
     if symmetric:
-        acc_ref[:] += jnp.sum(dots * s[:, None, :], axis=0)
+        acc_ref[:] += jnp.sum(dots * s[:, None, :], axis=0) * sx
     else:
         xsum = jnp.sum(x.astype(jnp.int32), axis=2).astype(jnp.float32)
         z = _aux_tile(zp_ref).astype(jnp.float32)
         corr = xsum[:, :, None] * z[:, None, :]
-        acc_ref[:] += jnp.sum((dots - corr) * s[:, None, :], axis=0)
+        acc_ref[:] += jnp.sum((dots - corr) * s[:, None, :], axis=0) * sx
 
     @pl.when(kk == n_k - 1)
     def _():
@@ -484,11 +520,18 @@ def quant_matmul(
         variant = "dequant"
     block_n = min(block_n, N)
     # The scales/zeros blocks are [block_k/G, block_n]; Mosaic requires the
-    # sublane dim to be a multiple of 8 (or the full array), so k-tiles are
-    # multiples of 8*G. block_k must also DIVIDE K exactly: a partial tail
-    # tile would feed padding garbage into the accumulation.
-    chunk = 8 * G
-    block_k = _shrink_block_k(block_k, K, chunk)
+    # sublane dim to be a multiple of the dtype's native sublane count (8
+    # for 4-byte, 16 for 2-byte) or the full array, so k-tiles are
+    # multiples of that*G. block_k must also DIVIDE K exactly: a partial
+    # tail tile would feed padding garbage into the accumulation.
+    chunk = (16 if scales.dtype.itemsize == 2 else 8) * G
+    # VMEM budget: the weight tile is double-buffered by the pipeline, so
+    # keep it ≤ 4MB (8MB buffered + x/scales/acc/out well under the 16MB
+    # scoped limit). Without this, wide tiles (e.g. the int8 lm_head at
+    # W=4096) OOM the scoped vmem stack at compile time.
+    w_bytes_per_k = block_n // 2 if bits == 4 else block_n
+    max_bk = max((4 * 1024 * 1024) // w_bytes_per_k, chunk)
+    block_k = _shrink_block_k(min(block_k, max_bk), K, chunk)
     assert K % block_k == 0, (K, block_k)
     n_n = pl.cdiv(N, block_n)
     n_k = K // block_k
@@ -533,19 +576,9 @@ def quant_matmul(
         "w4a8": _w4a8_kernel,
     }[variant]
 
-    if variant == "w4a8":
-        # Dynamic per-row int8 activation quantization; s_x folds into the
-        # output (the kernel is linear in x — see _w4a8_kernel).
-        sx = jnp.maximum(
-            jnp.max(jnp.abs(x.astype(jnp.float32)), axis=1, keepdims=True),
-            1e-10,
-        ) / 127.0
-        x_op = jnp.clip(
-            jnp.round(x.astype(jnp.float32) / sx), -127, 127
-        ).astype(jnp.int8)
-    else:
-        sx = None
-        x_op = x.astype(jnp.bfloat16)
+    # w4a8 quantizes activations in-kernel (per k-block); all variants take
+    # bf16 activations.
+    x_op = x.astype(jnp.bfloat16)
 
     if tiled:
         w_spec = pl.BlockSpec(
@@ -596,6 +629,4 @@ def quant_matmul(
             transcendentals=0,
         ),
     )(*operands)
-    if sx is not None:
-        out = (out.astype(jnp.float32) * sx).astype(out.dtype)
     return out
