@@ -27,8 +27,12 @@ def bench_shape(name, M, K, N, bits, iters=64, block_n=None, block_k=None):
 
     G = 128
     pack = 2 if bits == 4 else 1
+    # Default scales dtype = f32, matching what the loader produces for
+    # external GPTQ/AWQ checkpoints (the headline bench config); set
+    # QKB_SCALES=bfloat16 to measure the internal-quantizer config.
+    sc_dtype = np.dtype(os.environ.get("QKB_SCALES", "float32"))
     qw = np.zeros((K // pack, N), np.int8)
-    sc = np.zeros((K // G, N), np.float32)
+    sc = np.zeros((K // G, N), sc_dtype)
     zp = np.zeros((K // G, N), np.int8)
     kw = {}
     if block_n:
@@ -79,7 +83,11 @@ def bench_shape(name, M, K, N, bits, iters=64, block_n=None, block_k=None):
 
     dt = t(f_long) - t(f_short)
     per_iter = dt / (iters // 2)
-    wbytes = qw.size + sc.size * 4 + zp.size
+    # Count only the operands the kernel actually streams: zeros are not
+    # passed when symmetric, and scale bytes follow the real dtype.
+    wbytes = qw.size + sc.size * sc.dtype.itemsize
+    if not symmetric:
+        wbytes += zp.size
     gbs = wbytes / per_iter / 1e9
     print(
         f"{name:14s} M={M:2d} K={K:5d} N={N:6d} bits={bits} "

@@ -129,9 +129,14 @@ class HFModelLoader:
             if leaf in ("qweight", "zeros"):
                 return np.int8
             if leaf == "scales":
-                from scalellm_tpu.ops.quant_matmul import scales_np_dtype
-
-                return scales_np_dtype()
+                # External GPTQ/AWQ checkpoints store scales as fp16 and
+                # computed their int grids against those exact values;
+                # bf16 (7 mantissa bits) cannot represent all fp16 scales,
+                # so upcast to f32 (exact — Mosaic rejects f16 on TPU).
+                # Only the INTERNAL quantizer may use bf16 scales, where
+                # the grid round-trips the storage dtype (quant_matmul.
+                # scales_np_dtype).
+                return np.float32
             if leaf in ("g_idx", "perm"):
                 return np.int32
             return np_dtype
@@ -270,6 +275,9 @@ class HFModelLoader:
             if name in ("qweight", "zeros"):
                 return np.zeros(shape, np.int8)
             if name == "scales":
+                # Must mirror leaf_dtype above: fake-load benches compile
+                # the same kernel config (block_k alignment depends on
+                # scales itemsize) as real checkpoint loads.
                 return np.zeros(shape, np.float32)
             if name in ("g_idx", "perm"):
                 return np.zeros(shape, np.int32)

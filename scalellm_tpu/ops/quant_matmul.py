@@ -90,7 +90,9 @@ def quantize_int4(
     w: np.ndarray, group_size: int
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Symmetric int4 group quantization of a float [K, N] weight.
-    Returns (packed int8 [K//2, N], scales f32 [K//G, N], zeros int8)."""
+    Returns (packed int8 [K//2, N], scales scales_np_dtype() [K//G, N],
+    zeros int8). The scale is rounded through the storage dtype BEFORE the
+    grid is computed, so storage is lossless by construction."""
     K, N = w.shape
     assert K % group_size == 0
     # ascontiguousarray throughout: reductions over F-ordered inputs (e.g. a
@@ -113,7 +115,8 @@ def quantize_int4(
 def quantize_int8(
     w: np.ndarray, group_size: int
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Symmetric int8 group quantization. Returns (int8 [K, N], scales, zeros)."""
+    """Symmetric int8 group quantization. Returns (int8 [K, N], scales in
+    scales_np_dtype() (grid round-tripped, so storage-lossless), zeros)."""
     K, N = w.shape
     w = np.ascontiguousarray(w)
     g = w.reshape(K // group_size, group_size, N)
@@ -131,10 +134,18 @@ DEFAULT_TILE_N = 2048
 
 
 def scales_np_dtype():
-    """Storage dtype for per-group scales. bf16 halves the scale stream
-    (~6% of the weight bytes at G=128 with f32) and is lossless vs GPTQ/AWQ
-    checkpoints, which store scales as fp16; kernels upcast to f32 before
-    applying. Env QUANT_SCALES_DTYPE=float32 reverts for A/B."""
+    """Storage dtype for per-group scales produced by the INTERNAL
+    quantizers (quantize_int4/int8). bf16 halves the scale stream (~6% of
+    the weight bytes at G=128 with f32) and is exact HERE ONLY because the
+    quantizers round the scale through this dtype BEFORE computing the int
+    grid, so the stored scale is the one the grid was built against.
+
+    External GPTQ/AWQ checkpoints store scales as fp16 (10 mantissa bits
+    vs bf16's 7): casting those to bf16 would perturb the scale the
+    checkpoint's grid was computed against by up to ~0.4% relative. The
+    loader therefore upcasts external scales to float32 (exact; Mosaic
+    rejects f16 on TPU). Env QUANT_SCALES_DTYPE=float32 reverts the
+    internal default for A/B."""
     import os
 
     import ml_dtypes
@@ -347,14 +358,10 @@ def _w4a8_kernel(x_ref, qw_ref, sc_ref, *rest, n_k: int, bits: int, symmetric: b
     # Mosaic's integer matmul path needs BOTH operands int8 ("Mix int/int
     # - NYI" on int8 x int4) — widen the int4 tile; the convert is VPU work
     # overlapped with the dots, and the int8 dot still runs at 2x bf16 rate.
-    # QUANT_W4A8_WIDEN probes alternatives: "bf16" routes the widen through
-    # the free int4→bf16 hardware convert; "skip" feeds the PACKED bytes
-    # duplicated (WRONG VALUES — cost isolation only).
+    # QUANT_W4A8_WIDEN=bf16 probes routing the widen through the free
+    # int4→bf16 hardware convert (value-identical; perf A/B only).
     widen = _env_str("QUANT_W4A8_WIDEN", "direct")
-    if bits == 4 and widen == "skip":
-        p = qw_ref[0] if qw_ref.ndim == 3 else qw_ref[:]  # [BK/2, BN] packed
-        w = jnp.concatenate([p, p], axis=0)
-    elif bits == 4 and widen == "bf16":
+    if bits == 4 and widen == "bf16":
         w = _unpack_tile(qw_ref, bits).astype(jnp.bfloat16).astype(jnp.int8)
     else:
         w = _unpack_tile(qw_ref, bits).astype(jnp.int8)  # [BK, BN]
@@ -531,7 +538,27 @@ def quant_matmul(
     # W=4096) OOM the scoped vmem stack at compile time.
     w_bytes_per_k = block_n // 2 if bits == 4 else block_n
     max_bk = max((4 * 1024 * 1024) // w_bytes_per_k, chunk)
+    if scales.dtype.itemsize == 2 and K % chunk != 0 and K % (8 * G) == 0:
+        # bf16 scales need 16*G-aligned k-tiles; for K that are odd
+        # multiples of 8*G (5120, 18944, ... 13B/Qwen-class projections)
+        # the fallback would otherwise be a full-K tile that can blow the
+        # VMEM cap. Upcasting scales to f32 restores 8*G tiling — scale
+        # bytes double but tiles stay capped (correct > marginally fast).
+        scales = scales.astype(jnp.float32)
+        chunk = 8 * G
     block_k = _shrink_block_k(min(block_k, max_bk), K, chunk)
+    if block_k > max_bk and not tiled:
+        # _shrink_block_k's K-not-chunk-aligned fallback returns full K
+        # (the only k-extent that satisfies the sublane rule when K/G is
+        # not a multiple of 8). Keep the weight tile under the VMEM cap by
+        # shrinking block_n instead — alignment rules stay intact.
+        while block_n > 256 and block_k * (block_n // 2 if bits == 4 else block_n) > 4 * 1024 * 1024:
+            block_n //= 2
+    assert block_k <= max(max_bk, (4 * 1024 * 1024) // (block_n // 2 if bits == 4 else block_n)), (
+        f"quant_matmul: K={K} G={G} needs a full-K weight tile "
+        f"({block_k}x{block_n}) that exceeds the 4MB VMEM budget; "
+        f"re-tile the stored layout (smaller tile_n) or use f32 scales"
+    )
     assert K % block_k == 0, (K, block_k)
     n_n = pl.cdiv(N, block_n)
     n_k = K // block_k
