@@ -120,6 +120,25 @@ class KVSwapper:
     def has_entry(self, seq: "Sequence") -> bool:
         return seq.seq_id in self._pool
 
+    def staging_fits(self, seq: "Sequence") -> bool:
+        """True when preempting `seq` can stage its pages in the pool's
+        FREE space — i.e. without LRU-evicting other sequences' staged KV
+        (an eviction turns an earlier victim's cheap swap-in back into a
+        full recompute). Used by the scheduler's swap-aware victim policy."""
+        n_kv = seq.num_kv_cache_tokens()
+        if n_kv <= 0 or not seq.blocks:
+            return True  # nothing to stage
+        kv = self._executor.kv_cache
+        if kv is None:
+            return False
+        # staged entry shape: [L, n_pages, page_size, 2H, D]
+        per_page = (
+            kv.shape[0] * int(np.prod(kv.shape[2:])) * kv.dtype.itemsize
+        )
+        n_pages = (n_kv + self._block_size - 1) // self._block_size
+        free = self._pool.max_bytes - self._pool.used_bytes
+        return n_pages * per_page <= free
+
     def swap_out(self, seq: "Sequence") -> bool:
         n_kv = seq.num_kv_cache_tokens()
         if n_kv <= 0 or not seq.blocks:

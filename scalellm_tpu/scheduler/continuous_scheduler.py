@@ -349,13 +349,26 @@ class ContinuousScheduler:
         if self._block_manager.allocate_blocks_for(seq, num_tokens):
             return True
         # Preempt from the lowest-priority end. Never preempt `req` itself or
-        # a request already scheduled into this step's batch.
+        # a request already scheduled into this step's batch. Swap-aware
+        # tiebreak (NEXT #11): at equal priority, prefer victims whose pages
+        # fit in the host pool's FREE space — staging them does not LRU-evict
+        # earlier victims' entries (which would silently turn those cheap
+        # swap-ins back into full recomputes).
         in_batch = {id(e.seq) for e in batch.entries}
-        for victim in sorted(
-            self._requests,
-            key=lambda r: (int(r.priority), r.arrival_seq),
-            reverse=True,
-        ):
+
+        def victim_key(r):
+            fits = 0
+            if self._swapper is not None:
+                fits = int(
+                    all(
+                        self._swapper.staging_fits(s)
+                        for s in r.sequences
+                        if s.blocks
+                    )
+                )
+            return (int(r.priority), fits, r.arrival_seq)
+
+        for victim in sorted(self._requests, key=victim_key, reverse=True):
             if victim is req:
                 continue
             if any(id(s) in in_batch for s in victim.sequences):

@@ -104,3 +104,59 @@ def test_e2e_preemption_with_swap(tiny_model):
     # produce identical outputs — swap is an optimization, not semantics.
     got2 = _generate(tiny_model, host_swap_bytes=0, num_blocks=40)
     assert got2 == want
+
+
+def test_swap_aware_victim_selection():
+    """At equal priority, preemption prefers the victim whose pages fit in
+    the host pool's free space (staging it evicts nothing), over the
+    equal-priority victim that would LRU-evict earlier staged entries."""
+    from scalellm_tpu.request.request import Priority
+    from tests.test_scheduler import FakeLLMEngine, make_request, make_scheduler
+
+    engine = FakeLLMEngine(num_blocks=12, block_size=4)
+
+    class StubSwapper:
+        def __init__(self):
+            self.fits = {}
+            self.swapped = []
+
+        def has_entry(self, seq):
+            return False
+
+        def staging_fits(self, seq):
+            return self.fits.get(seq.seq_id, True)
+
+        def swap_out(self, seq):
+            self.swapped.append(seq.seq_id)
+            return False  # fall through to plain deallocate
+
+        def finalize_staging(self):
+            pass
+
+        def discard(self, seq):
+            pass
+
+    engine.kv_swapper = StubSwapper()
+    engine, sched = make_scheduler(engine, max_seqs_per_batch=8)
+
+    # Two running LOW requests occupying blocks; then a HIGH request that
+    # needs preemption. Mark r1's seq as NOT fitting the pool, r2's as
+    # fitting: r2 must be chosen despite r1 being the younger arrival
+    # (plain FCFS-reversed would have picked r1).
+    outs = []
+    r2 = make_request("b" * 16, max_tokens=8, on_output=outs.append, priority=Priority.LOW)
+    r1 = make_request("a" * 16, max_tokens=8, on_output=outs.append, priority=Priority.LOW)
+    sched.schedule(r2)
+    sched.schedule(r1)
+    sched.step()  # both prefill, holding blocks
+    engine.kv_swapper.fits = {
+        r1.sequences[0].seq_id: False,
+        r2.sequences[0].seq_id: True,
+    }
+    high = make_request("c" * 24, max_tokens=1, on_output=outs.append, priority=Priority.HIGH)
+    sched.schedule(high)
+    sched.step()
+    assert engine.kv_swapper.swapped, "preemption should have staged a victim"
+    assert engine.kv_swapper.swapped[0] == r2.sequences[0].seq_id
+    sched.run_until_complete()
+    assert len(outs) == 3 and all(o.finished for o in outs)
