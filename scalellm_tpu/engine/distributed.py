@@ -33,13 +33,17 @@ from scalellm_tpu.parallel import multihost
 logger = logging.getLogger(__name__)
 
 # header: [running_flag, T, S, MAXP, U, B(logit-bias width), decode_only,
-#          W(guided-mask width)]
-_HEADER_LEN = 8
+#          W(guided-mask width), step_counter]
+_HEADER_LEN = 9
 _STOP = -1
+_HEARTBEAT = 2
 
 
 def _header_of(
-    mi: ModelInputs, si: SamplingInputs, decode_only: bool = False
+    mi: ModelInputs,
+    si: SamplingInputs,
+    decode_only: bool = False,
+    step: int = 0,
 ) -> np.ndarray:
     h = np.zeros(_HEADER_LEN, np.int32)
     h[0] = 1
@@ -50,7 +54,24 @@ def _header_of(
     h[5] = si.bias_token_ids.shape[1]
     h[6] = int(decode_only)
     h[7] = si.allowed_mask.shape[1]
+    # Lockstep check: followers verify the driver's step counter matches
+    # their own count of received steps — a mismatch means a host skipped or
+    # double-entered a collective (desync ⇒ silent garbage or deadlock), so
+    # fail LOUDLY instead. int32 wrap is harmless: both sides wrap alike.
+    h[8] = step & 0x7FFFFFFF
     return h
+
+
+def check_step_header(header: np.ndarray, expected_step: int) -> None:
+    """Raise on driver/follower step-counter desync (see _header_of)."""
+    got = int(header[8])
+    want = expected_step & 0x7FFFFFFF
+    if got != want:
+        raise RuntimeError(
+            f"multihost desync: driver is at step {got}, this follower "
+            f"expected {want} — a broadcast was missed or duplicated; "
+            "aborting before entering a mismatched collective"
+        )
 
 
 def _placeholders(h: np.ndarray) -> Tuple[ModelInputs, SamplingInputs]:
@@ -107,12 +128,13 @@ class DistributedLLMEngine(LLMEngine):
             return
         assert multihost.is_driver(), "only host 0 schedules batches"
         self._step_counter += 1
+        self._bcast_counter = getattr(self, "_bcast_counter", 0) + 1
         mi, si, needs_sample = batch.prepare_model_inputs(
             self.options.block_size, self._step_counter
         )
         decode_only = batch.is_decode_only
         (header,) = multihost.broadcast_step_inputs(
-            _header_of(mi, si, decode_only)
+            _header_of(mi, si, decode_only, step=self._bcast_counter)
         )
         del header  # driver's own copy is authoritative
         (mi, si) = multihost.broadcast_step_inputs((mi, si))[0]
@@ -128,20 +150,45 @@ class DistributedLLMEngine(LLMEngine):
 
     # ---------------------------------------------------------------- follower
 
-    def run_follower(self) -> None:
+    def run_follower(self, idle_timeout: float | None = None) -> None:
         """Non-driver hosts: receive step inputs forever and enter the jit
         in lockstep with the driver. Returns when the driver broadcasts the
-        stop header (shutdown)."""
+        stop header (shutdown).
+
+        idle_timeout (seconds, None = wait forever): maximum time to block
+        waiting for the NEXT step's header. A dead or wedged driver
+        otherwise hangs followers forever inside the collective (the
+        reference's analog is the 4s NCCL smoke-test timeout,
+        llm_engine.cpp:98-107 — extended here past startup to every step
+        boundary). On timeout, raises RuntimeError so the host exits
+        loudly; the payload broadcast that follows an already-received
+        header is never the waiting point, so only the header wait is
+        guarded."""
         assert self._multi and not multihost.is_driver()
+        step = 0
         while True:
-            (header,) = multihost.broadcast_step_inputs(
-                np.zeros(_HEADER_LEN, np.int32)
+            header = multihost.broadcast_with_timeout(
+                np.zeros(_HEADER_LEN, np.int32), timeout=idle_timeout
             )
             if int(header[0]) == _STOP:
                 return
+            if int(header[0]) == _HEARTBEAT:
+                continue  # idle keep-alive; not a step
+            step += 1
+            check_step_header(header, step)
             mi, si = _placeholders(header)
             (mi, si) = multihost.broadcast_step_inputs((mi, si))[0]
             self.executor.execute(mi, si, decode_only=bool(header[6]))
+
+    def heartbeat(self) -> None:
+        """Idle keep-alive for followers running with an idle_timeout.
+        Must be called from the same (scheduler) thread as execute_model —
+        broadcasts must stay totally ordered across hosts."""
+        if not self._multi:
+            return
+        h = np.zeros(_HEADER_LEN, np.int32)
+        h[0] = _HEARTBEAT
+        multihost.broadcast_step_inputs(h)
 
     def shutdown_followers(self) -> None:
         if not self._multi:

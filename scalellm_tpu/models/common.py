@@ -639,6 +639,10 @@ class DecoderModel:
                 w["zeros"],
                 bits=self.quant.bits,
                 symmetric=sym,
+                # Layer-stacked [L, ...] triple inside the scan: the kernel
+                # streams layer __layer__'s tiles straight from the stacked
+                # HBM array (see forward()'s quant_stream).
+                layer=w.get("__layer__"),
             )
             return out.astype(jnp.float32)
         return jnp.dot(x, w, preferred_element_type=jnp.float32)
@@ -856,16 +860,33 @@ class DecoderModel:
                 m = m + lp["down_bias"].astype(jnp.float32)
             return m
 
+        # Perf-decomposition ablations (bench.py BENCH_ABLATE=norm,rope,
+        # scatter,attn,act — timing diagnostics only, outputs become wrong).
+        import os as _os
+
+        _ablate = set(
+            (_os.environ.get("BENCH_ABLATE") or "").split(",")
+        ) - {""}
+
         def layer_fn(carry, xs):
             h = carry
             if windows is None:
-                lp, kvc = xs
+                lp, kvc, li = xs
                 window_flag = None
             else:
-                lp, kvc, window_flag = xs
+                lp, kvc, li, window_flag = xs
+            if quant_stream:
+                # Re-attach the streamed (stacked) quant triples with this
+                # layer's index; _proj passes it to the kernel.
+                lp = dict(lp)
+                for name, triple in quant_stream.items():
+                    lp[name] = {**lp[name], **triple, "__layer__": li}
 
             # ---- attention (fused qkv: one projection launch)
-            x = self._norm(h, lp["input_norm"], lp.get("input_norm_bias"))
+            if "norm" in _ablate:
+                x = h
+            else:
+                x = self._norm(h, lp["input_norm"], lp.get("input_norm_bias"))
             x = sp_gather(x)  # SP: column-parallel qkv needs full T
             q_n = H_local * Dh
             kv_n = Hkv_local * Dh
@@ -895,7 +916,7 @@ class DecoderModel:
             if a.use_qk_norm:
                 q = rms_norm(q, lp["q_norm"], a.rms_norm_eps)
                 k = rms_norm(k, lp["k_norm"], a.rms_norm_eps)
-            if cos is not None:
+            if cos is not None and "rope" not in _ablate:
                 q = apply_rope(q, cos, sin, a.interleaved_rope)
                 k = apply_rope(k, cos, sin, a.interleaved_rope)
 
@@ -922,9 +943,10 @@ class DecoderModel:
                 vs = lp["kv_scales"][1].astype(jnp.float32)
             else:
                 ks = vs = None
-            kvc = set_kv_cache(
-                kvc, k, v, mi.new_kv_slot_ids, k_scale=ks, v_scale=vs
-            )
+            if "scatter" not in _ablate:
+                kvc = set_kv_cache(
+                    kvc, k, v, mi.new_kv_slot_ids, k_scale=ks, v_scale=vs
+                )
             if self.kv_quant:
                 q = (q.astype(jnp.float32) * ks).astype(q.dtype)
 
@@ -971,14 +993,44 @@ class DecoderModel:
             h = h + o.astype(h.dtype)
 
             # ---- mlp
-            x = self._norm(h, lp["post_norm"], lp.get("post_norm_bias"))
+            if "norm" in _ablate:
+                x = h
+            else:
+                x = self._norm(h, lp["post_norm"], lp.get("post_norm_bias"))
             m = mlp(lp, sp_gather(x))
             if a.residual_post_layernorm:
                 m = self._norm(m.astype(h.dtype), lp["post_ffw_norm"])
             h = h + m.astype(h.dtype)
             return h, kvc
 
-        xs = (params["layers"], kv_cache)
+        # Quant weights do NOT ride the scan xs: slicing a stacked [L, ...]
+        # array per scan step materializes an HBM copy of the whole layer's
+        # weights every iteration (measured 408 GB/s achieved weight
+        # bandwidth scan-sliced vs 586+ GB/s copy-free on v5e for 8B INT4).
+        # Instead the stacked arrays pass into the body whole (closure) and
+        # the quant kernel streams layer li's tiles in place via in-kernel
+        # double-buffered DMA (ops/quant_matmul.py stacked path).
+        quant_stream = {}
+        layers_xs = params["layers"]
+        if self.quant is not None:
+            layers_xs = {}
+            for name, v in params["layers"].items():
+                if (
+                    isinstance(v, dict)
+                    and "qweight" in v
+                    and v["qweight"].ndim == 4
+                ):
+                    quant_stream[name] = {
+                        k2: v[k2] for k2 in ("qweight", "scales", "zeros")
+                    }
+                    layers_xs[name] = {
+                        k2: v2
+                        for k2, v2 in v.items()
+                        if k2 not in ("qweight", "scales", "zeros")
+                    }
+                else:
+                    layers_xs[name] = v
+        xs = (layers_xs, kv_cache, jnp.arange(a.n_layers))
         if windows is not None:
             xs = xs + (windows,)
         h, new_kv = lax.scan(layer_fn, h, xs)

@@ -98,6 +98,44 @@ def broadcast_step_inputs(*pytrees: Any) -> Tuple[Any, ...]:
     return out
 
 
+def broadcast_with_timeout(pytree: Any, timeout: Optional[float] = None) -> Any:
+    """broadcast_step_inputs for ONE pytree, bounded by `timeout` seconds.
+
+    The underlying collective blocks forever if the sending host died (a
+    dead driver leaves followers wedged inside broadcast_one_to_all with
+    no error). The collective runs on a daemon thread; if it misses the
+    deadline this raises RuntimeError in the caller so the follower host
+    can exit loudly. The abandoned thread may stay blocked in the runtime
+    — acceptable, because the only recovery from a lost driver is process
+    exit and re-init (matching the reference's fail-fast philosophy for
+    collective errors, llm_engine.cpp:98-107)."""
+    if timeout is None:
+        return broadcast_step_inputs(pytree)[0]
+    import queue
+    import threading
+
+    q: "queue.Queue[tuple[bool, Any]]" = queue.Queue()
+
+    def _run():
+        try:
+            q.put((True, broadcast_step_inputs(pytree)[0]))
+        except Exception as e:  # collective/runtime errors count as failure
+            q.put((False, e))
+
+    t = threading.Thread(target=_run, daemon=True, name="mh-bcast")
+    t.start()
+    try:
+        ok, val = q.get(timeout=timeout)
+    except queue.Empty:
+        raise RuntimeError(
+            f"multihost broadcast timed out after {timeout:.1f}s — the "
+            "driver host is unreachable (dead or wedged); exiting"
+        ) from None
+    if not ok:
+        raise RuntimeError(f"multihost broadcast failed: {val}") from val
+    return val
+
+
 def collective_smoke_test(mesh) -> bool:
     """Tiny psum across the whole mesh at startup — the analog of the
     reference's NCCL smoke test with timeout (llm_engine.cpp:98-107)."""
