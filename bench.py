@@ -91,6 +91,10 @@ def param_bytes(model) -> int:
     total = 0
     float_itemsize = 2 if model.args.dtype in ("bfloat16", "float16") else 4
 
+    from scalellm_tpu.ops.quant_matmul import scales_np_dtype
+
+    sc_itemsize = np.dtype(scales_np_dtype()).itemsize
+
     def walk(node, name=""):
         nonlocal total
         for k, v in node.items():
@@ -99,7 +103,7 @@ def param_bytes(model) -> int:
             else:
                 itemsize = (
                     1 if k in ("qweight", "zeros")
-                    else 4 if k == "scales"
+                    else sc_itemsize if k == "scales"
                     else float_itemsize
                 )
                 if k == "embed_tokens" and not model.args.tie_word_embeddings:
@@ -126,12 +130,17 @@ def run_decode_bench(preset: str, batch: int, steps: int, page_size: int = 16):
         # 8B random init costs minutes over the tunnel; zero weights time
         # identically (quantized values don't affect the memory path).
         # Zero weights: tokens are meaningless but per-step timing identical.
+        from scalellm_tpu.ops.quant_matmul import scales_np_dtype
+
         def zero_leaf(path, shape):
             name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
             if name in ("qweight", "zeros"):
                 return jnp.zeros(shape, jnp.int8)
             if name == "scales":
-                return jnp.zeros(shape, jnp.float32)
+                # Must match the production loader's dtype (bf16 for the
+                # internal quantizer): scales dtype selects the kernel's
+                # k-tile alignment and halves the scale stream.
+                return jnp.zeros(shape, jnp.dtype(scales_np_dtype()))
             dt = jnp.bfloat16 if a.dtype == "bfloat16" else jnp.float32
             return jnp.zeros(shape, dt)
 

@@ -396,6 +396,59 @@ def _w4a8_kernel(x_ref, qw_ref, sc_ref, *rest, n_k: int, bits: int, symmetric: b
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
+def _w4a8_gemv_kernel(
+    x_ref, qw_ref, sc_ref, *rest, n_k: int, bits: int, symmetric: bool
+):
+    """W4A8 with ONE int8 MXU dot per tile via a block-diagonal activation
+    matrix (the _gemv_kernel trick on the integer path): row (g, m) of
+    xd @ w is exactly group g's partial dot for row m, so per-group
+    post-dot scaling applies unchanged. At M=1 the n_g separate [1, G]
+    int dots of _w4a8_kernel are MXU-issue-bound; one [n_g, BK] @ [BK, BN]
+    dot trades 16x redundant MACs for a single pipelined issue."""
+    if symmetric:
+        o_ref, acc_ref = rest
+        zp_ref = None
+    else:
+        zp_ref, o_ref, acc_ref = rest
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w = _unpack_tile(qw_ref, bits).astype(jnp.int8)  # [BK, BN]
+    bk, bn = w.shape
+    s = _aux_tile(sc_ref).astype(jnp.float32)  # [n_g, BN]
+    n_g = s.shape[0]
+    G = bk // n_g
+    m = x_ref.shape[0]
+    xf = x_ref[:].astype(jnp.float32)
+    sx = jnp.maximum(
+        jnp.max(jnp.abs(xf), axis=1, keepdims=True), 1e-10
+    ) / 127.0  # [M, 1]
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    xd = jnp.tile(xq, (n_g, 1))  # [(g, m) rows, BK]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n_g * m, bk), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n_g * m, bk), 1)
+    xd = jnp.where(rows // m == cols // G, xd, 0)
+    dots = jax.lax.dot_general(
+        xd, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    ).reshape(n_g, m, bn).astype(jnp.float32)
+    if symmetric:
+        acc_ref[:] += jnp.sum(dots * s[:, None, :], axis=0) * sx
+    else:
+        xsum = jnp.sum(
+            xd.astype(jnp.int32), axis=1
+        ).reshape(n_g, m).astype(jnp.float32)
+        z = _aux_tile(zp_ref).astype(jnp.float32)
+        corr = xsum[:, :, None] * z[:, None, :]
+        acc_ref[:] += jnp.sum((dots - corr) * s[:, None, :], axis=0) * sx
+
+    @pl.when(kk == n_k - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
 def _dequant_kernel(x_ref, qw_ref, sc_ref, *rest, n_k: int, bits: int, symmetric: bool):
     """Dequantize the weight tile in VMEM, then ONE large dot per cell.
 
@@ -545,7 +598,7 @@ def quant_matmul(
     variant = variant or dv
 
     G = K // scales.shape[-2]
-    if G < 128 and variant in ("group", "w4a8"):
+    if G < 128 and variant in ("group", "w4a8", "w4a8g"):
         # The group variant's [M, n_g, G] reshape/transpose needs the minor
         # dim to span full 128-lane registers; Mosaic rejects smaller G
         # ("unsupported shape cast"). The dequant variant only reshapes the
@@ -599,7 +652,7 @@ def quant_matmul(
     # prefill -> compute-bound; the extra weight re-fetches per M tile are
     # amortized by the MXU work.
     if M > 64:
-        if variant in ("gemv", "w4a8"):
+        if variant in ("gemv", "w4a8", "w4a8g"):
             # gemv's [n_g*M, BK] block-diagonal matrix only pays off for
             # small M; w4a8's accuracy trade is tuned for decode. Prefill
             # goes through the large-dot paths below.
@@ -627,6 +680,7 @@ def quant_matmul(
         "dequant": _dequant_kernel,
         "gemv": _gemv_kernel,
         "w4a8": _w4a8_kernel,
+        "w4a8g": _w4a8_gemv_kernel,
     }[variant]
 
     # w4a8 quantizes activations in-kernel (per k-block); all variants take
@@ -712,6 +766,7 @@ def quant_matmul(
     scratch = [pltpu.VMEM((block_m, block_n), jnp.float32)]
     if stacked:
         g_rows = block_k // G
+        depth = _env_int("QUANT_STREAM_DEPTH", 2)
         stream = functools.partial(
             _stream_kernel,
             body=body,
@@ -721,18 +776,19 @@ def quant_matmul(
             qk_rows=qk_rows,
             g_rows=g_rows,
             symmetric=symmetric,
+            depth=depth,
         )
         scratch = [
             pltpu.VMEM((block_m, block_n), jnp.float32),  # acc
-            pltpu.VMEM((2, qk_rows, block_n), jnp.int8),  # qw double buffer
-            pltpu.VMEM((2, g_rows, block_n), scales.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((depth, qk_rows, block_n), jnp.int8),  # qw ring
+            pltpu.VMEM((depth, g_rows, block_n), scales.dtype),
+            pltpu.SemaphoreType.DMA((depth,)),
+            pltpu.SemaphoreType.DMA((depth,)),
         ]
         if not symmetric:
             scratch += [
-                pltpu.VMEM((2, g_rows, block_n), jnp.int8),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((depth, g_rows, block_n), jnp.int8),
+                pltpu.SemaphoreType.DMA((depth,)),
             ]
         out = pl.pallas_call(
             stream,
@@ -770,6 +826,7 @@ def _stream_kernel(
     qk_rows: int,
     g_rows: int,
     symmetric: bool,
+    depth: int = 2,
 ):
     """Layer-stacked streaming wrapper around the compute bodies.
 
@@ -819,16 +876,25 @@ def _stream_kernel(
             )
         return cp
 
-    slot = jax.lax.rem(lin, 2)
+    slot = jax.lax.rem(lin, depth)
 
     @pl.when(lin == 0)
     def _():
-        for c in copies(lin, slot):
-            c.start()
+        # prologue: start the first depth-1 tiles' copies
+        for d in range(depth - 1):
+            if d == 0:
+                for c in copies(lin, slot):
+                    c.start()
+            else:
+                @pl.when(d < total)
+                def _(d=d):
+                    for c in copies(d, jax.lax.rem(d, depth)):
+                        c.start()
 
-    @pl.when(lin + 1 < total)
+    @pl.when(lin + depth - 1 < total)
     def _():
-        for c in copies(lin + 1, jax.lax.rem(lin + 1, 2)):
+        nxt = lin + depth - 1
+        for c in copies(nxt, jax.lax.rem(nxt, depth)):
             c.start()
 
     for c in copies(lin, slot):
