@@ -190,9 +190,6 @@ def run_decode_bench(preset: str, batch: int, steps: int, page_size: int = 16):
                 selected_idxes=jnp.arange(batch, dtype=jnp.int32),
                 seq_mask=jnp.ones((batch,), jnp.float32),
             )
-            # decode_only routes to the in-house decode attention kernel
-            # (serving default for all-decode batches); env
-            # ATTN_DECODE_IMPL=stock A/Bs back to the stock ragged kernel.
             hidden, kv_cache = model.forward(
                 params, kv_cache, mi, decode_only=True
             )

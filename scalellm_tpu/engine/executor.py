@@ -306,10 +306,14 @@ class Executor:
 
     @functools.cache
     def _step_fn_for(self, decode_only: bool):
-        from scalellm_tpu.ops.attention import native_decode_active
-
-        if decode_only and not native_decode_active():
-            # Same program as the mixed variant — share the compile.
+        # decode_only compiles a separate program only for models with a
+        # decode-specialized attention kernel (MLA latent-MQA decode,
+        # ops/mla_attention.py). Dense models use the stock ragged kernel
+        # for both shapes — share the compile. (A generic in-house decode
+        # kernel was measured and deleted: it reached parity at b=1 but
+        # lost 19-39% to the stock kernel's pipelined grid at batch;
+        # see commit history of ops/decode_attention.py.)
+        if decode_only and not getattr(self.model, "mla", False):
             return self._step_fn_for(False)
         return self._build_step_fn(decode_only)
 

@@ -112,6 +112,9 @@ class MLADecoderModel:
     Megatron column/row-parallel.
     """
 
+    mla = True  # executor compiles a decode_only program variant
+                # (routes to the latent-MQA Pallas decode kernel)
+
     def __init__(self, args: ModelArgs, parallel: ParallelConfig = ParallelConfig(), attn_impl=None):
         self.args = args
         self.parallel = parallel

@@ -39,18 +39,6 @@ def _default_backend() -> str:
         return "cpu"
 
 
-def native_decode_active() -> bool:
-    """ATTN_DECODE_IMPL=native routes all-decode batches to the in-house
-    decode kernel (ops/decode_attention.py). Default is the stock kernel:
-    measured on v5e the in-house kernel is at parity on Llama-8B (116.8 vs
-    117.5 tok/s b=1) and ~2% behind on TinyLlama at short context — the
-    stock kernel's tuned block tables win until our per-sequence streaming
-    is tuned further."""
-    import os
-
-    return os.environ.get("ATTN_DECODE_IMPL", "") == "native"
-
-
 def kernel_head_dim(head_dim: int, backend: Optional[str] = None) -> int:
     """Head dim the attention backend requires in the KV-page layout.
 
@@ -105,40 +93,31 @@ def ragged_paged_attention(
     backend: Optional[str] = None,
     decode_only: bool = False,
 ) -> jnp.ndarray:
+    # decode_only: all-decode batches run the same stock kernel — an
+    # in-house decode-specialized kernel (per-sequence manual KV streaming
+    # with cross-sequence prefetch + fused-head dots) was built, tuned, and
+    # DELETED after measurement on v5e: parity with the stock kernel at
+    # b=1 (158.1 vs 158.3 tok/s on 8B), but 19-39% behind at batch
+    # (b=8 ctx1024: 595 vs 737; b=32 ctx512: 2311 vs 3775) — its
+    # sequential per-sequence grid cannot match the stock kernel's
+    # pipelined (seq, kv-block) grid. Recover it from git history if a
+    # niche reappears. (MLA has its own decode kernel: ops/mla_attention.)
     backend = backend or _default_backend()
-    if backend == "tpu" and decode_only and native_decode_active():
-        # All-decode batches (one query token per sequence, rows 0..S-1 of
-        # q) go through the in-house decode-specialized kernel
-        # (ops/decode_attention.py): no causal mask, per-sequence KV
-        # streaming with cross-sequence DMA prefetch.
-        from scalellm_tpu.ops.decode_attention import decode_paged_attention
-
-        S = kv_lens.shape[0]
-        out = decode_paged_attention(
-            q[:S],
-            kv_pages,
-            kv_lens,
-            page_indices,
-            sm_scale=sm_scale,
-            sliding_window=sliding_window,
-            soft_cap=logit_soft_cap,
-            k_scale=k_scale,
-            v_scale=v_scale,
-        )
-        if q.shape[0] > S:
-            out = jnp.pad(out, ((0, q.shape[0] - S), (0, 0), (0, 0)))
-        return out
     if backend == "tpu":
         from jax.experimental.pallas.ops.tpu.ragged_paged_attention import (
             ragged_paged_attention as tpu_kernel,
         )
 
         # Large prefills need more than the default 16MB scoped VMEM
-        # budget (q alone is T*H*D*2 bytes); v5e/v6e have 128MB VMEM.
+        # budget (q alone is T*H*D*2 bytes), and long-context decode
+        # overflows it by the kernel's KV-block buffers (measured: 8B at
+        # 134 pages/seq needs 16.05M — 48KB over). v5e/v6e have 128MB VMEM.
         vmem_limit = None
         q_bytes = q.shape[0] * q.shape[1] * q.shape[2] * 2
         if q_bytes > 4 * 1024 * 1024:
             vmem_limit = 100 * 1024 * 1024
+        elif page_indices.shape[1] * kv_pages.shape[1] > 1024:
+            vmem_limit = 32 * 1024 * 1024
         return tpu_kernel(
             q,
             kv_pages,
