@@ -533,8 +533,16 @@ class DecoderModel:
             # across any remaining (dp) mesh axes.
             for t in self.lora_meta.targets:
                 layers[f"lora_{t}"] = (P(None, None, None, None),) * 2
+        # Vocab-parallel embedding (reference: VocabParallelEmbeddingImpl,
+        # embedding.h:101): the table shards over the vocab dim — on a 70B
+        # class model a replicated table wastes ~2 GB/chip at tp=16. The
+        # lookup masks out-of-shard ids and psums (forward()); replicated
+        # only when vocab doesn't divide tp.
+        vocab_sharded = (
+            tp is not None and a.vocab_size % max(self.parallel.tp_size, 1) == 0
+        )
         specs = {
-            "embed_tokens": P(None, None),  # replicated (allreduce-free)
+            "embed_tokens": P(tp, None) if vocab_sharded else P(None, None),
             "layers": layers,
             "final_norm": P(None),
         }
@@ -712,7 +720,26 @@ class DecoderModel:
         else:
             tok_ids, pos_ids = mi.token_ids, mi.positions
 
-        h = params["embed_tokens"][tok_ids]  # [T, D] ([Ts, D] under sp)
+        emb = params["embed_tokens"]
+        if tp_axis is not None and emb.shape[0] != a.vocab_size:
+            # Vocab-parallel table (local [V/tp, D] shard): each rank
+            # gathers the ids that land in its shard (others masked to 0)
+            # and one psum assembles the full rows (reference:
+            # VocabParallelEmbeddingImpl::forward, embedding.h:121-135).
+            # The psum requires IDENTICAL ids on every rank, so under sp
+            # the lookup runs on the full T list and the token shard is
+            # sliced afterwards.
+            ids = mi.token_ids if sp else tok_ids
+            v_local = emb.shape[0]
+            off = lax.axis_index(tp_axis) * v_local
+            loc = ids - off
+            ok = jnp.logical_and(loc >= 0, loc < v_local)
+            rows = emb[jnp.clip(loc, 0, v_local - 1)]
+            h = lax.psum(jnp.where(ok[:, None], rows, 0), tp_axis)
+            if sp:
+                h = lax.dynamic_slice_in_dim(h, sp_rank * Ts, Ts)
+        else:
+            h = emb[tok_ids]  # [T, D] ([Ts, D] under sp)
         if a.normalize_embedding:
             h = (h.astype(jnp.float32) * math.sqrt(a.hidden_size)).astype(h.dtype)
         if a.pos_embedding_type == "learned":
@@ -1048,8 +1075,15 @@ class DecoderModel:
         """[S, D] → full [S, V] logits (all-gathered over tp when sharded)."""
         a = self.args
         if a.tie_word_embeddings:
-            w = params["embed_tokens"].T  # replicated: [D, V]
+            w = params["embed_tokens"].T  # [D, V] ([D, V/tp] vocab-sharded)
             logits = jnp.dot(hidden, w, preferred_element_type=jnp.float32)
+            if (
+                self.parallel.tp_axis is not None
+                and w.shape[1] != a.vocab_size
+            ):
+                logits = lax.all_gather(
+                    logits, self.parallel.tp_axis, axis=1, tiled=True
+                )
         elif isinstance(params["lm_head"], dict):
             from scalellm_tpu.ops.quant_matmul import quant_matmul
 

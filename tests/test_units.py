@@ -210,3 +210,21 @@ def test_sampling_params_validation():
     ):
         with pytest.raises(ValidationError):
             SamplingParams(**bad).verify()
+
+
+def test_70b_feasibility_memory_math():
+    """BASELINE config 5: Llama-3.1-70B INT4 must fit 2 v5e-8 hosts (tp=16)
+    with usable KV capacity (benchmarks/feasibility_70b.py)."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "benchmarks"),
+    )
+    from feasibility_70b import memory_math
+
+    out = memory_math(tp=16)
+    assert out["fits"]
+    assert out["weights_gb_per_chip"] < 4.0
+    assert out["kv_capacity_8k_contexts"] >= 16
