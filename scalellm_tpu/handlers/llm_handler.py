@@ -72,6 +72,8 @@ class LLMHandlerOptions:
     enable_async_scheduling: bool = True
     # Multi-LoRA: {adapter name: HF PEFT dir}; requests select by name.
     lora_modules: "Optional[dict]" = None
+    # `path=value` ModelArgs overrides (reference: args_overrider.h).
+    model_args_overrides: "Optional[list]" = None
 
 
 class LLMHandler:
@@ -98,6 +100,7 @@ class LLMHandler:
             quantize=options.quantize,
             host_swap_bytes=options.host_swap_bytes,
             lora_modules=options.lora_modules,
+            model_args_overrides=options.model_args_overrides,
         )
         if options.lora_modules and (
             options.draft_model_path

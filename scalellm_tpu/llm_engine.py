@@ -116,6 +116,7 @@ class AsyncLLMEngine:
         kv_cache_dtype: str = "auto",
         quantize: str = "",
         warmup_mode: str = "fast",
+        model_args_overrides=None,
         distributed: bool = False,
         enable_async_scheduling: bool = True,
         lora_modules=None,
@@ -139,6 +140,7 @@ class AsyncLLMEngine:
             kv_cache_dtype=kv_cache_dtype,
             quantize=quantize,
             warmup_mode=warmup_mode,
+            model_args_overrides=model_args_overrides,
             distributed=distributed,
             enable_async_scheduling=enable_async_scheduling,
             lora_modules=lora_modules,

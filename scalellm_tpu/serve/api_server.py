@@ -71,6 +71,16 @@ class ApiServer:
             import dataclasses
 
             opts = dataclasses.asdict(self.engine._handler.options)
+            eng = getattr(self.engine._handler, "engine", None)
+            if eng is not None and hasattr(eng, "model_args"):
+                # Effective model args + applied --model-args-override list
+                # (the reference's /gflags + args_overrider.h introspection).
+                ma = dataclasses.asdict(eng.model_args)
+                ma.pop("raw", None)
+                opts["model_args"] = ma
+                opts["model_args_overrides_applied"] = getattr(
+                    eng, "applied_model_args_overrides", []
+                )
             return Response.json(opts)
 
         @http.route("POST", "/profile/start")
@@ -199,8 +209,15 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--kv-cache-dtype", type=str, default="auto", choices=["auto", "int8"])
     p.add_argument("--quantize", type=str, default="", choices=["", "int4", "int8"],
                    help="runtime weight quantization of dense checkpoints")
-    p.add_argument("--warmup-mode", type=str, default="fast", choices=["off", "fast", "full"],
-                   help="full = pre-compile every reachable bucket (zero mid-serve compiles)")
+    p.add_argument("--warmup-mode", type=str, default="full", choices=["off", "fast", "full"],
+                   help="full (default) = pre-compile every reachable bucket "
+                        "(zero mid-serve compiles; the persistent compile "
+                        "cache makes warm restarts near-instant)")
+    p.add_argument("--model-args-override", action="append", default=[],
+                   metavar="FIELD=VALUE",
+                   help="override a loaded ModelArgs field (dotted paths "
+                        "reach QuantArgs: quant_args.bits=8); repeatable. "
+                        "Reference parity: args_overrider.h; shown at /config")
     # Multi-host pod serving (single-controller): host 0 runs this server +
     # scheduler; hosts 1..N run the follower loop in lockstep.
     p.add_argument("--coordinator", type=str, default=None,
@@ -246,6 +263,7 @@ def main(argv: Optional[list] = None):
                 sequence_parallel=args.sequence_parallel,
                 warmup=args.enable_cuda_graph,
                 warmup_mode=args.warmup_mode,
+                model_args_overrides=args.model_args_override,
                 max_tokens_per_batch=args.max_tokens_per_batch,
                 max_seqs_per_batch=args.max_seqs_per_batch,
                 kv_cache_dtype=args.kv_cache_dtype,
@@ -272,6 +290,7 @@ def main(argv: Optional[list] = None):
         kv_cache_dtype=args.kv_cache_dtype,
         quantize=args.quantize,
         warmup_mode=args.warmup_mode,
+        model_args_overrides=args.model_args_override,
         distributed=distributed,
         enable_async_scheduling=args.enable_async_scheduling,
         lora_modules=dict(m.split("=", 1) for m in args.lora_modules)

@@ -375,6 +375,7 @@ def main(argv: Optional[list] = None):
         num_handling_threads=args.num_handling_threads,
         tp_size=args.tp_size,
         num_blocks=args.num_blocks,
+        model_args_overrides=args.model_args_override,
         lora_modules=dict(m.split("=", 1) for m in args.lora_modules)
         if getattr(args, "lora_modules", None) else None,
     )

@@ -50,11 +50,19 @@ def save_char_tokenizer(dirpath: str) -> None:
     tok.save(os.path.join(dirpath, "tokenizer.json"))
 
 
-def make_trained_tiny_llama(dirpath: str, steps: int = 250, seed: int = 0) -> str:
+def make_trained_tiny_llama(
+    dirpath: str,
+    steps: int = 250,
+    seed: int = 0,
+    hidden_size: int = 128,
+    num_hidden_layers: int = 2,
+) -> str:
     """A tiny char-level llama TRAINED on tests/data/corpus.txt (byte-level
     next-char prediction). Unlike the random fixtures, its perplexity is
     meaningful — the eval harness tests (test_eval.py) need quantization
-    ppl DELTAS to be measurable against a structured model."""
+    ppl DELTAS to be measurable against a structured model. Size overrides
+    build weaker/stronger variants (e.g. a draft model for honest
+    speculative-decoding acceptance rates)."""
     if os.path.exists(os.path.join(dirpath, "config.json")):
         return dirpath
     import torch
@@ -68,9 +76,9 @@ def make_trained_tiny_llama(dirpath: str, steps: int = 250, seed: int = 0) -> st
 
     cfg = LlamaConfig(
         vocab_size=256,
-        hidden_size=128,
-        intermediate_size=256,
-        num_hidden_layers=2,
+        hidden_size=hidden_size,
+        intermediate_size=hidden_size * 2,
+        num_hidden_layers=num_hidden_layers,
         num_attention_heads=4,
         num_key_value_heads=2,
         max_position_embeddings=512,

@@ -228,3 +228,25 @@ def test_70b_feasibility_memory_math():
     assert out["fits"]
     assert out["weights_gb_per_chip"] < 4.0
     assert out["kv_capacity_8k_contexts"] >= 16
+
+
+def test_model_args_overrides():
+    """args_overrider.h parity: dotted-path CLI overrides with type
+    coercion; typos fail loudly."""
+    import pytest
+
+    from scalellm_tpu.config import ModelArgs, QuantArgs
+    from scalellm_tpu.utils.args_override import apply_overrides
+
+    a = ModelArgs(model_type="llama", quant_args=QuantArgs(bits=4))
+    applied = apply_overrides(
+        a, ["rope_theta=1e6", "n_layers=12", "quant_args.bits=8",
+            "tie_word_embeddings=true"]
+    )
+    assert a.rope_theta == 1e6 and a.n_layers == 12
+    assert a.quant_args.bits == 8 and a.tie_word_embeddings is True
+    assert len(applied) == 4
+    with pytest.raises(ValueError):
+        apply_overrides(a, ["not_a_field=3"])
+    with pytest.raises(ValueError):
+        apply_overrides(a, ["rope_theta"])
