@@ -38,8 +38,13 @@ class ModelArgs:
     max_position_embeddings: int = 4096
     bos_token_id: int = 1
     eos_token_id: int = 2
-    # position embeddings: "rope" | "learned" | "none"
+    # position embeddings: "rope" | "learned" | "alibi" | "none"
+    # (alibi: per-head linear score biases instead of embeddings —
+    # reference: src/kernels/attention/common/mask.h + handler.cpp
+    # create_handler_with_alibi; used by mpt/bloom-class models)
     pos_embedding_type: str = "rope"
+    # mpt-style clamp of q/k/v activations to [-clip, clip] (0 = off)
+    qkv_clip: float = 0.0
     # attention
     qkv_bias: bool = False
     o_proj_bias: bool = False

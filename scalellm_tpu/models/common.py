@@ -784,12 +784,34 @@ class DecoderModel:
                 jnp.int32,
             )
 
+        # ALiBi (mpt/bloom class): per-head score-bias slopes instead of
+        # position embeddings (reference: mask.h + handler.cpp
+        # create_handler_with_alibi). Heads are column-sharded over tp, so
+        # each rank slices its local heads' slopes.
+        alibi = None
+        if a.pos_embedding_type == "alibi":
+            from scalellm_tpu.layers.alibi import alibi_slopes
+
+            slopes_all = jnp.asarray(alibi_slopes(a.n_heads), jnp.float32)
+            if tp_axis is not None:
+                slopes_all = lax.dynamic_slice_in_dim(
+                    slopes_all, lax.axis_index(tp_axis) * H_local, H_local
+                )
+            alibi = slopes_all
+            if self.kv_pack > 1:
+                # Packed stored heads reorder q heads by owner slot — the
+                # kernel path is the jnp reference (no packing); keep 1:1.
+                raise NotImplementedError(
+                    "alibi with packed KV heads is unsupported"
+                )
+
         def attend(q, kvc, window):
             # int8 KV: pages store round(x / s) with per-layer calibrated
             # scales (lp["kv_scales"]); the kernel only takes STATIC float
             # scales, so dequant is applied algebraically — q pre-scaled by
             # s_k (scores are linear in k) and the output post-scaled by s_v
             # — with the kernel's own scale pinned to 1.0.
+            extra = {"alibi_slopes": alibi} if alibi is not None else {}
             return self.attn_impl(
                 q,
                 kvc,
@@ -803,6 +825,7 @@ class DecoderModel:
                 k_scale=1.0 if self.kv_quant else None,
                 v_scale=1.0 if self.kv_quant else None,
                 decode_only=decode_only,
+                **extra,
             )
 
         def dense_ffn(lp, x):
@@ -936,6 +959,11 @@ class DecoderModel:
             q = lora_add(q, lp, "q_proj", x)
             k = lora_add(k, lp, "k_proj", x)
             v = lora_add(v, lp, "v_proj", x)
+            if a.qkv_clip > 0:
+                # mpt attn_config.clip_qkv: clamp qkv activations
+                q = jnp.clip(q, -a.qkv_clip, a.qkv_clip)
+                k = jnp.clip(k, -a.qkv_clip, a.qkv_clip)
+                v = jnp.clip(v, -a.qkv_clip, a.qkv_clip)
             T = q.shape[0]
             q = q.astype(h.dtype).reshape(T, H_local, Dh)
             k = k.astype(h.dtype).reshape(T, Hkv_local, Dh)

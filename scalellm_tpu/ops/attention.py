@@ -92,6 +92,7 @@ def ragged_paged_attention(
     v_scale: Optional[float] = None,
     backend: Optional[str] = None,
     decode_only: bool = False,
+    alibi_slopes: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     # decode_only: all-decode batches run the same stock kernel — an
     # in-house decode-specialized kernel (per-sequence manual KV streaming
@@ -103,6 +104,17 @@ def ragged_paged_attention(
     # pipelined (seq, kv-block) grid. Recover it from git history if a
     # niche reappears. (MLA has its own decode kernel: ops/mla_attention.)
     backend = backend or _default_backend()
+    if alibi_slopes is not None:
+        # ALiBi models (mpt/bloom class, all deprecated in the reference)
+        # run the jnp reference under jit on every backend: the stock TPU
+        # kernel has no bias hook, and these models do not justify a
+        # dedicated Pallas variant (XLA still fuses the jnp path).
+        return ref_ragged_paged_attention(
+            q, kv_pages, kv_lens, page_indices, cu_q_lens, num_seqs,
+            sm_scale=sm_scale, sliding_window=sliding_window,
+            logit_soft_cap=logit_soft_cap, k_scale=k_scale, v_scale=v_scale,
+            alibi_slopes=alibi_slopes,
+        )
     if backend == "tpu":
         from jax.experimental.pallas.ops.tpu.ragged_paged_attention import (
             ragged_paged_attention as tpu_kernel,

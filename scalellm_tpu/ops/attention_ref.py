@@ -39,6 +39,7 @@ def ref_ragged_paged_attention(
     logit_soft_cap: Optional[float] = None,
     k_scale: Optional[float] = None,
     v_scale: Optional[float] = None,
+    alibi_slopes: Optional[jnp.ndarray] = None,  # f32[n_heads]
 ) -> jnp.ndarray:
     T, n_heads, head_dim = q.shape
     S, MAXP = page_indices.shape
@@ -78,6 +79,15 @@ def ref_ragged_paged_attention(
         vf = vf * v_scale
 
     scores = jnp.einsum("thgd,tjhd->thgj", qf, kf) * sm_scale
+    if alibi_slopes is not None:
+        # ALiBi (arXiv:2108.12409): score += slope_h * (j - i) — zero at
+        # the query position, increasingly negative into the past
+        # (reference: mask.h alibi bias path). Applied AFTER sm_scale:
+        # the bias is not part of the q.k product.
+        kv_idx_b = jnp.arange(KV, dtype=jnp.int32)[None, :]
+        dist = kv_idx_b.astype(jnp.float32) - positions.astype(jnp.float32)[:, None]
+        sl = alibi_slopes.astype(jnp.float32).reshape(1, n_kv_heads, group, 1)
+        scores = scores + sl * dist[:, None, None, :]
     if logit_soft_cap is not None and logit_soft_cap > 0.0:
         scores = logit_soft_cap * jnp.tanh(scores / logit_soft_cap)
 

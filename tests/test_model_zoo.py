@@ -79,6 +79,13 @@ FAMILIES = {
              n_shared_experts=1, topk_method="greedy",
              routed_scaling_factor=1.0, tie_word_embeddings=False),
     ),
+    "mpt": (
+        "MptConfig", "MptForCausalLM",
+        dict(vocab_size=128, d_model=64, n_layers=2, n_heads=4,
+             expansion_ratio=4, max_seq_len=256, no_bias=True,
+             attn_config={"alibi": True, "clip_qkv": 6.0},
+             tie_word_embeddings=True),
+    ),
     "mistral": (
         "MistralConfig", "MistralForCausalLM",
         dict(vocab_size=128, hidden_size=64, intermediate_size=128,
