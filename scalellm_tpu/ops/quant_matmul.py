@@ -364,11 +364,12 @@ def _w4a8_kernel(x_ref, qw_ref, sc_ref, *rest, n_k: int, bits: int, symmetric: b
     # QUANT_W4A8_WIDEN=bf16 probes routing the widen through the free
     # int4→bf16 hardware convert (value-identical; perf A/B only).
     widen = _env_str("QUANT_W4A8_WIDEN", "direct")
-    if bits == 4 and widen == "bf16":
-        w = _unpack_tile(qw_ref, bits).astype(jnp.bfloat16).astype(jnp.int8)
-    else:
-        w = _unpack_tile(qw_ref, bits).astype(jnp.int8)  # [BK, BN]
-    bk, bn = w.shape
+    packed = qw_ref[:]
+    if packed.ndim > 2:  # tiled [1, R, W] / layer-stacked [1, 1, R, W]
+        packed = packed.reshape(packed.shape[-2:])
+    pack = 2 if bits == 4 else 1
+    bk = packed.shape[0] * pack
+    bn = packed.shape[1]
     s = _aux_tile(sc_ref).astype(jnp.float32)  # [n_g, BN]
     n_g = s.shape[0]
     G = bk // n_g
@@ -378,18 +379,51 @@ def _w4a8_kernel(x_ref, qw_ref, sc_ref, *rest, n_k: int, bits: int, symmetric: b
         jnp.max(jnp.abs(xf), axis=1, keepdims=True), 1e-10
     ) / 127.0  # [M, 1] per-(row, k-block)
     xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
-    w = w.reshape(n_g, G, bn)
-    x = xq.reshape(m, n_g, G).transpose(1, 0, 2)  # int8 [n_g, M, G]
-    dots = jax.lax.dot_general(
-        x, w, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.int32
-    ).astype(jnp.float32)  # [n_g, M, BN]
-    if symmetric:
-        acc_ref[:] += jnp.sum(dots * s[:, None, :], axis=0) * sx
-    else:
-        xsum = jnp.sum(x.astype(jnp.int32), axis=2).astype(jnp.float32)
-        z = _aux_tile(zp_ref).astype(jnp.float32)
-        corr = xsum[:, :, None] * z[:, None, :]
-        acc_ref[:] += jnp.sum((dots - corr) * s[:, None, :], axis=0) * sx
+    # Sub-chunk software pipeline (QUANT_W4A8_SUBCHUNKS, default 1): split
+    # the k-block so the VPU widen of sub-chunk j+1 is independent of the
+    # MXU dot of sub-chunk j — Mosaic's scheduler can then overlap them
+    # instead of serializing one whole-tile widen before one whole-tile
+    # dot. The packed int8 tile is sliced BEFORE the int4 bitcast (Mosaic
+    # rejects reshapes/indexing on int4 vectors). Value-identical: sx is
+    # computed once over the full k-block.
+    n_sub = _env_int("QUANT_W4A8_SUBCHUNKS", 1)
+    if n_g % n_sub != 0:
+        n_sub = 1
+    g_sub = n_g // n_sub
+    rows_sub = packed.shape[0] // n_sub
+    total = jnp.zeros((m, bn), jnp.float32)
+    for j in range(n_sub):
+        pj = (
+            packed
+            if n_sub == 1
+            else packed[j * rows_sub : (j + 1) * rows_sub, :]
+        )
+        raw_j = pltpu.bitcast(pj, jnp.int4) if bits == 4 else pj
+        if bits == 4 and widen == "bf16":
+            wj = raw_j.astype(jnp.bfloat16).astype(jnp.int8)
+        else:
+            wj = raw_j.astype(jnp.int8)  # [BK/n_sub, BN]
+        wj = wj.reshape(g_sub, G, bn)
+        xj = (
+            xq
+            if n_sub == 1
+            else xq[:, j * (bk // n_sub) : (j + 1) * (bk // n_sub)]
+        ).reshape(m, g_sub, G).transpose(1, 0, 2)  # int8 [g_sub, M, G]
+        dots = jax.lax.dot_general(
+            xj, wj, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)  # [g_sub, M, BN]
+        sj = s[j * g_sub : (j + 1) * g_sub, :]
+        if symmetric:
+            total += jnp.sum(dots * sj[:, None, :], axis=0)
+        else:
+            xsum = jnp.sum(xj.astype(jnp.int32), axis=2).astype(jnp.float32)
+            z = _aux_tile(zp_ref).astype(jnp.float32)[
+                j * g_sub : (j + 1) * g_sub, :
+            ]
+            corr = xsum[:, :, None] * z[:, None, :]
+            total += jnp.sum((dots - corr) * sj[:, None, :], axis=0)
+    acc_ref[:] += total * sx
 
     @pl.when(kk == n_k - 1)
     def _():
