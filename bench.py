@@ -428,9 +428,19 @@ def main():
                 )
 
         serve_run("tinyllama-1.1b", 48)
+        # Multi-step decode (num_decode_steps=4): N micro-steps per
+        # dispatch — one host round trip / batch prep per 4 tokens.
+        serve_run(
+            "tinyllama-1.1b", 48,
+            extra=("--num-decode-steps", "4"), tag="_ms4",
+        )
         # BASELINE config 3: 8B-INT4 + prefix cache + chunked prefill,
         # plus the async-pipelined-scheduler A/B (VERDICT r2 #3).
         serve_run("llama31-8b-int4", 24)
+        serve_run(
+            "llama31-8b-int4", 24,
+            extra=("--num-decode-steps", "4"), tag="_ms4",
+        )
         serve_run(
             "llama31-8b-int4", 24,
             extra=("--disable-async-scheduling",), tag="_sync",

@@ -50,6 +50,8 @@ def main():
     p.add_argument("--warmup-mode", type=str, default="fast",
                    choices=["off", "fast", "full"])
     p.add_argument("--json-only", action="store_true")
+    p.add_argument("--num-decode-steps", type=int, default=1,
+                   help="decode micro-steps per dispatch (multi-step)")
     p.add_argument("--prerun", action="store_true", default=True,
                    help="run the mix once unmeasured (steady-state timing)")
     p.add_argument("--no-prerun", dest="prerun", action="store_false")
@@ -104,6 +106,7 @@ def main():
             enable_cuda_graph=args.warmup_mode != "off",
             warmup_mode=args.warmup_mode,
             enable_async_scheduling=args.async_sched,
+            num_decode_steps=args.num_decode_steps,
         )
     )
 

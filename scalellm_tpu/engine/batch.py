@@ -386,6 +386,52 @@ class Batch:
                 return True
         return False
 
+    def can_multi_step(self) -> bool:
+        """True when the batch can run as one multi-step decode dispatch:
+        all-decode, every row samples, and nothing requires per-token host
+        feedback (guided masks and penalty histograms are rebuilt on host
+        each token; pending rows' values live on device)."""
+        if not self.is_decode_only:
+            return False
+        for e in self.entries:
+            if not e.needs_sample or e.seq.has_pending:
+                return False
+        return not self.needs_sync()
+
+    def process_multi_sample_output(
+        self,
+        next_tokens: np.ndarray,  # [N, S]
+        logprobs: Optional[np.ndarray],  # [N, S]
+        top_ids: Optional[np.ndarray],  # [N, S, K]
+        top_logprobs: Optional[np.ndarray],  # [N, S, K]
+        tokenizer=None,
+    ) -> None:
+        """Multi-step resolve: append up to N sampled tokens per sequence,
+        dropping everything after a finish (EOS/stop/max_tokens overshoot —
+        the device kept decoding; the host discards). KV accounting: micro-
+        step i writes the KV of its INPUT token, so a sequence that accepts
+        n tokens has KV committed for its original input plus n-1 fed-back
+        tokens (the last sampled token's KV is written next step, exactly
+        like the single-step path)."""
+        N = next_tokens.shape[0]
+        for s, e in enumerate(self.entries):
+            seq = e.seq
+            seq.commit_kv_cache(e.num_tokens)
+            for i in range(N):
+                tid = int(next_tokens[i, s])
+                lp = self._build_logprob(
+                    seq, tid, s,
+                    logprobs[i] if logprobs is not None else None,
+                    top_ids[i] if top_ids is not None else None,
+                    top_logprobs[i] if top_logprobs is not None else None,
+                    tokenizer,
+                )
+                seq.append_token(tid, lp)
+                if seq.is_finished():
+                    break
+                if i < N - 1:
+                    seq.commit_kv_cache(1)
+
     def append_pending_tokens(self) -> None:
         """Async dispatch path: commit KV progress and reserve pending slots
         for this step's samples (values resolve later from device)."""

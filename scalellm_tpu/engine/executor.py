@@ -120,6 +120,8 @@ class Executor:
         # serving bench can assert zero.
         self._last_cache_size: Optional[int] = None
         self._in_warmup = False
+        # Multi-step decode programs, keyed (num_steps, page_size).
+        self._multi_fns: dict = {}
 
     # ---------------------------------------------------------------- kv init
 
@@ -259,6 +261,112 @@ class Executor:
             check_vma=False,
         )
         return jax.jit(sharded, donate_argnums=(1,))
+
+    def _multi_step_fn_for(self, num_steps: int, page_size: int):
+        key = (num_steps, page_size)
+        fn = self._multi_fns.get(key)
+        if fn is None:
+            fn = self._multi_fns[key] = self._build_multi_step_fn(
+                num_steps, page_size
+            )
+        return fn
+
+    def _build_multi_step_fn(self, num_steps: int, page_size: int):
+        """N-micro-step decode program: one dispatch runs `num_steps`
+        autoregressive decode steps as a device-side lax.scan with in-graph
+        token feedback — the host pays ONE round trip (and one batch prep)
+        per N tokens instead of per token. The analog of vLLM's multi-step
+        scheduling, natural on TPU where the whole loop jits into one XLA
+        program (reference's per-step loop: continuous_scheduler.cpp:384).
+
+        Decode-only batches (1 query token/seq). Per micro-step i:
+        positions/kv_lens advance by i and each token's KV slot is
+        recomputed from the block tables (slots may cross page boundaries).
+        Overshoot past a sequence's allocated pages indexes the zero-padded
+        block-table tail, landing writes in reserved page 0 — harmless.
+        Sampler seeds are re-folded per micro-step so temperature sampling
+        doesn't repeat."""
+        import dataclasses
+
+        model = self.model
+        max_k = self.max_top_logprobs
+
+        def multi(params, kv_cache, mi: ModelInputs, si: SamplingInputs):
+            def body(carry, i):
+                kv_cache, tokens = carry
+                pos = mi.positions + i
+                page = pos // page_size
+                page = jnp.minimum(page, mi.block_tables.shape[1] - 1)
+                bids = mi.block_tables[mi.token_seg, page]
+                slots = bids * page_size + pos % page_size
+                mi_i = dataclasses.replace(
+                    mi,
+                    token_ids=tokens,
+                    positions=pos,
+                    new_kv_slot_ids=slots,
+                    kv_lens=mi.kv_lens + i,
+                )
+                hidden, kv_cache = model.forward(
+                    params, kv_cache, mi_i, decode_only=True
+                )
+                logits = model.logits(params, hidden)
+                si_i = dataclasses.replace(
+                    si,
+                    seeds=si.seeds
+                    + i.astype(jnp.uint32) * jnp.uint32(2654435761),
+                )
+                outs = sample_tokens(logits, si_i, max_top_logprobs=max_k)
+                nxt = outs.next_tokens[mi.token_seg].astype(tokens.dtype)
+                return (kv_cache, nxt), outs
+
+            (kv_cache, _), outs = jax.lax.scan(
+                body, (kv_cache, mi.token_ids), jnp.arange(num_steps)
+            )
+            return outs, kv_cache  # outs leaves carry a leading [N] dim
+
+        if self.mesh is None:
+            return jax.jit(multi, donate_argnums=(1,))
+
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+
+        mi_specs, si_specs, out_specs = self._shard_specs()
+        sharded = shard_map(
+            multi,
+            mesh=self.mesh,
+            in_specs=(
+                model.param_partition_specs(),
+                model.kv_cache_partition_spec(),
+                mi_specs,
+                si_specs,
+            ),
+            out_specs=out_specs,
+            check_vma=False,
+        )
+        return jax.jit(sharded, donate_argnums=(1,))
+
+    def execute_multi(
+        self,
+        mi: ModelInputs,
+        si: SamplingInputs,
+        num_steps: int,
+        page_size: int,
+    ):
+        """Run `num_steps` decode micro-steps in one dispatch; returns
+        ModelOutputs whose leaves have a leading [num_steps] dim. KV caches
+        update in place (donated). Single-process only (the multi-host
+        driver broadcasts one step at a time)."""
+        assert self.kv_cache is not None, "init_kv_cache first"
+        assert not self._multiprocess
+        mi = jax.tree_util.tree_map(jnp.asarray, mi)
+        si = jax.tree_util.tree_map(jnp.asarray, si)
+        outs, self.kv_cache = self._multi_step_fn_for(num_steps, page_size)(
+            self.params, self.kv_cache, mi, si
+        )
+        self._note_cache_size(mi)
+        return outs
 
     def _shard_specs(self):
         """(mi, si, (outs, kv)) PartitionSpecs for the shard_map step: step
@@ -434,6 +542,12 @@ class Executor:
             outs, self.kv_cache = self._step_fn_for(decode_only)(
                 self.params, self.kv_cache, mi, si
             )
+        self._note_cache_size(mi)
+        if scores is not None:
+            return outs, scores
+        return outs
+
+    def _note_cache_size(self, mi: ModelInputs) -> None:
         size = self._jit_cache_size()
         if size is not None:
             if (
@@ -451,16 +565,13 @@ class Executor:
                     mi.block_tables.shape[1],
                 )
             self._last_cache_size = size
-        if scores is not None:
-            return outs, scores
-        return outs
 
     def _jit_cache_size(self) -> Optional[int]:
         try:
             return sum(
                 self._step_fn_for(flag)._cache_size()
                 for flag in (False, True)
-            )
+            ) + sum(fn._cache_size() for fn in self._multi_fns.values())
         except Exception:
             return None
 
@@ -471,6 +582,7 @@ class Executor:
         max_tokens: int = 512,
         max_seqs: int = 128,
         max_context_len: int = 4096,
+        multi_steps: int = 1,
     ) -> None:
         """Pre-compile serving buckets — the analog of CUDA-graph capture at
         init (reference: llm_engine.cpp:214 capture_cuda_graphs, 9 buckets).
@@ -564,6 +676,10 @@ class Executor:
                     seeds=np.zeros(S, np.uint32),
                 )
                 self.execute(mi, si, decode_only=decode_only)
+                if multi_steps > 1 and decode_only and not self._multiprocess:
+                    # Multi-step serving also replays the N-step decode
+                    # program on every decode bucket — warm it too.
+                    self.execute_multi(mi, si, multi_steps, block_size)
         finally:
             self._in_warmup = False
         logger.info(

@@ -77,6 +77,8 @@ class EngineOptions:
     # Speculative decoding.
     draft_model_path: Optional[str] = None
     num_speculative_tokens: int = 0
+    # Multi-step decode horizon (warms the N-step program when > 1).
+    num_decode_steps: int = 1
     # KV cache quantization: "auto" | "int8"
     kv_cache_dtype: str = "auto"
     # Runtime int8/int4 quantization of the lm_head for quantized models
@@ -269,6 +271,7 @@ class LLMEngine:
                 max_seqs=options.max_seqs_per_batch,
                 max_context_len=options.max_context_len
                 or self.model_args.max_position_embeddings,
+                multi_steps=options.num_decode_steps,
             )
 
         self._step_counter = 0
@@ -321,6 +324,40 @@ class LLMEngine:
         # the logical block count is global, so no adjustment needed (each
         # device stores 1/tp of every block).
         return int(num_blocks)
+
+    # -------------------------------------------------------- multi-step
+
+    @property
+    def supports_multi_step(self) -> bool:
+        """Multi-step decode (N micro-steps per dispatch) needs device-side
+        token feedback — single-process drivers only, like async."""
+        return not getattr(self.executor, "_multiprocess", False)
+
+    def execute_model_multi(self, batch: Batch, num_steps: int) -> None:
+        """Run `num_steps` decode micro-steps in ONE dispatch (device-side
+        lax.scan with in-graph token feedback): one host round trip and one
+        batch prep per N tokens. The scheduler reserves N KV slots per
+        sequence and gates on Batch.can_multi_step; tokens sampled after a
+        sequence finishes mid-window are discarded host-side (their KV
+        writes land in the sequence's own reserved slots or the padding
+        page — see Executor._build_multi_step_fn)."""
+        self._step_counter += 1
+        mi, si, _ = batch.prepare_model_inputs(
+            self.options.block_size, self._step_counter
+        )
+        if self.lora_meta is not None:
+            mi.lora_ids = batch.lora_slots
+        outs = self.executor.execute_multi(
+            mi, si, num_steps, self.options.block_size
+        )
+        next_tokens = np.asarray(outs.next_tokens)  # [N, S]
+        want_lp = any(e.seq.sampling_params.logprobs for e in batch.entries)
+        logprobs = np.asarray(outs.logprobs) if want_lp else None
+        top_ids = np.asarray(outs.top_ids) if want_lp else None
+        top_lps = np.asarray(outs.top_logprobs) if want_lp else None
+        batch.process_multi_sample_output(
+            next_tokens, logprobs, top_ids, top_lps, self.tokenizer
+        )
 
     # ------------------------------------------------------------- async step
 

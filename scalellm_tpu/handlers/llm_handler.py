@@ -70,6 +70,8 @@ class LLMHandlerOptions:
     host_swap_bytes: int = 0
     # Async pipelined stepping (scheduler keeps one step in flight).
     enable_async_scheduling: bool = True
+    # Decode micro-steps per dispatch (SchedulerOptions.num_decode_steps).
+    num_decode_steps: int = 1
     # Multi-LoRA: {adapter name: HF PEFT dir}; requests select by name.
     lora_modules: "Optional[dict]" = None
     # `path=value` ModelArgs overrides (reference: args_overrider.h).
@@ -101,6 +103,7 @@ class LLMHandler:
             host_swap_bytes=options.host_swap_bytes,
             lora_modules=options.lora_modules,
             model_args_overrides=options.model_args_overrides,
+            num_decode_steps=options.num_decode_steps,
         )
         if options.lora_modules and (
             options.draft_model_path
@@ -137,6 +140,7 @@ class LLMHandler:
                 max_seqs_per_batch=options.max_seqs_per_batch,
                 num_speculative_tokens=options.num_speculative_tokens,
                 enable_async_scheduling=options.enable_async_scheduling,
+                num_decode_steps=options.num_decode_steps,
             ),
             response_handler=self._response_handler,
         )
@@ -371,11 +375,16 @@ class LLMHandler:
         self._loop_thread.start()
 
     def stop(self) -> None:
-        if self._loop_thread is None:
-            return
-        self._stop_event.set()
-        self._loop_thread.join(timeout=10)
-        self._loop_thread = None
+        """Stop the scheduler loop AND release per-instance threads (the
+        handling pool + the response-handler worker). Without this every
+        discarded handler leaks ~5 daemon threads — measurable in test
+        suites and replica-cycling deployments."""
+        if self._loop_thread is not None:
+            self._stop_event.set()
+            self._loop_thread.join(timeout=10)
+            self._loop_thread = None
+        self._pool.shutdown(wait=False, cancel_futures=True)
+        self._response_handler.shutdown()
 
     def run_until_complete(self) -> None:
         """Drain all scheduled work (offline batch mode,

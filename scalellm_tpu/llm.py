@@ -37,6 +37,7 @@ class LLM:
         quantize_lm_head: "bool | str" = False,
         host_swap_bytes: int = 0,
         enable_async_scheduling: bool = True,
+        num_decode_steps: int = 1,
         lora_modules=None,
         mesh=None,
     ) -> None:
@@ -59,6 +60,7 @@ class LLM:
             quantize_lm_head=quantize_lm_head,
             host_swap_bytes=host_swap_bytes,
             enable_async_scheduling=enable_async_scheduling,
+            num_decode_steps=num_decode_steps,
             lora_modules=lora_modules,
         )
         self._handler = LLMHandler(options, mesh=mesh)

@@ -119,6 +119,7 @@ class AsyncLLMEngine:
         model_args_overrides=None,
         distributed: bool = False,
         enable_async_scheduling: bool = True,
+        num_decode_steps: int = 1,
         lora_modules=None,
         mesh=None,
     ) -> None:
@@ -143,6 +144,7 @@ class AsyncLLMEngine:
             model_args_overrides=model_args_overrides,
             distributed=distributed,
             enable_async_scheduling=enable_async_scheduling,
+            num_decode_steps=num_decode_steps,
             lora_modules=lora_modules,
         )
         self._handler = LLMHandler(options, mesh=mesh)

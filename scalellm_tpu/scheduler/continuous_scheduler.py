@@ -48,6 +48,12 @@ class SchedulerOptions:
     # batch prep behind device execution. Requests using penalties, guided
     # decoding, or prompt logprobs fall back to sync steps transparently.
     enable_async_scheduling: bool = True
+    # Multi-step decode (vLLM's num-scheduler-steps, TPU-natural as ONE
+    # jitted lax.scan): all-decode batches run N autoregressive micro-steps
+    # per dispatch — one host round trip and one batch prep per N tokens.
+    # Sequences finishing mid-window overshoot up to N-1 tokens (discarded).
+    # Batches with penalties/guided decoding fall back to per-token steps.
+    num_decode_steps: int = 1
 
 
 class ContinuousScheduler:
@@ -78,6 +84,12 @@ class ContinuousScheduler:
         # Async pipelining state: the dispatched-but-unresolved step.
         self._async = options.enable_async_scheduling and getattr(
             engine, "supports_async", False
+        )
+        self._multi_n = (
+            options.num_decode_steps
+            if options.num_decode_steps > 1
+            and getattr(engine, "supports_multi_step", False)
+            else 1
         )
         self._inflight: Optional[tuple] = None  # (Batch, ModelOutputs)
         # Set when a pipelined build hit allocation pressure: the next step
@@ -142,6 +154,15 @@ class ContinuousScheduler:
         batch = self._build_batch(timeout_s)
         if not batch.entries:
             return 0
+        if self._multi_n > 1 and batch.can_multi_step():
+            t0 = time.monotonic()
+            self._engine.execute_model_multi(batch, self._multi_n)
+            HISTOGRAMS.observe(
+                "execute_model_latency_seconds", time.monotonic() - t0
+            )
+            self._process_outputs(batch)
+            COUNTERS.inc("num_multi_steps")
+            return len(batch.entries)
         if self._async and not batch.needs_sync():
             outs = self._engine.dispatch_model(batch)
             self._inflight = (batch, outs)
@@ -254,7 +275,11 @@ class ContinuousScheduler:
         batch = Batch()
         token_budget = opts.max_tokens_per_batch
         seq_budget = opts.max_seqs_per_batch
-        spec_overhead = opts.num_speculative_tokens
+        # Decode seqs reserve extra KV slots for speculative tokens and/or
+        # multi-step micro-steps (whichever horizon is larger).
+        spec_overhead = max(
+            opts.num_speculative_tokens, self._multi_n - 1
+        )
 
         # Requests we may preempt, lowest priority last (iterate from the
         # back). Only block-holding requests are preemption candidates.

@@ -191,6 +191,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="warm up jit bucket cache at init (name kept for parity)")
     p.add_argument("--disable-warmup", dest="enable_cuda_graph", action="store_false")
     p.add_argument("--max-tokens-per-batch", type=int, default=512)
+    p.add_argument("--num-decode-steps", type=int, default=1,
+                   help="decode micro-steps per dispatch (multi-step decode)")
     p.add_argument("--disable-async-scheduling", dest="enable_async_scheduling",
                    action="store_false", default=True,
                    help="disable pipelined (one step in flight) scheduling")
@@ -293,6 +295,7 @@ def main(argv: Optional[list] = None):
         model_args_overrides=args.model_args_override,
         distributed=distributed,
         enable_async_scheduling=args.enable_async_scheduling,
+        num_decode_steps=args.num_decode_steps,
         lora_modules=dict(m.split("=", 1) for m in args.lora_modules)
         if args.lora_modules else None,
     )

@@ -372,6 +372,8 @@ def main(argv: Optional[list] = None):
         max_seqs_per_batch=args.max_seqs_per_batch,
         num_speculative_tokens=args.num_speculative_tokens,
         draft_model_path=args.draft_model,
+        enable_async_scheduling=args.enable_async_scheduling,
+        num_decode_steps=args.num_decode_steps,
         num_handling_threads=args.num_handling_threads,
         tp_size=args.tp_size,
         num_blocks=args.num_blocks,

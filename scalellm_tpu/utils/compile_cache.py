@@ -41,7 +41,50 @@ def enable_compilation_cache() -> None:
 
         jax.config.update("jax_compilation_cache_dir", loc)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        _patch_atomic_writes()
         _enabled = True
         logger.info("persistent compilation cache at %s", loc)
     except Exception:  # never fail engine init over a cache
         logger.exception("compilation cache setup failed (continuing)")
+
+
+def _patch_atomic_writes() -> None:
+    """Make cache-entry writes ATOMIC (tmp file + os.replace).
+
+    jax's LRUCache.put writes entries with a bare Path.write_bytes: a
+    process killed mid-write (deploy restart, bench timeout, OOM-kill)
+    leaves a TORN entry on disk, and the next process to read it can
+    segfault inside XLA executable deserialization — every subsequent
+    server start then crashes until the cache dir is wiped (observed on
+    this repo's CI: a timeout-killed bench bricked the shared cache and
+    the test suite segfaulted deterministically in
+    compilation_cache.get_executable_and_time). rename() on the same
+    filesystem is atomic, so readers only ever see whole entries."""
+    try:
+        from jax._src import lru_cache as _lru
+    except Exception:  # cache layout changed: skip hardening, keep cache
+        logger.exception("compile-cache atomic-write patch failed")
+        return
+    if getattr(_lru.LRUCache, "_scalellm_atomic", False):
+        return
+
+    _orig_put = _lru.LRUCache.put
+
+    def _atomic_put(self, key, val):
+        if not key:
+            raise ValueError("key cannot be empty")
+        try:
+            cache_path = self.path / f"{key}{_lru._CACHE_SUFFIX}"
+            if self.eviction_enabled:
+                # Preserve the original locking/eviction semantics.
+                return _orig_put(self, key, val)
+            if cache_path.exists():
+                return
+            tmp = self.path / f"{key}.tmp.{os.getpid()}"
+            tmp.write_bytes(val)
+            os.replace(tmp, cache_path)
+        except Exception:
+            logger.exception("compile-cache write failed (continuing)")
+
+    _lru.LRUCache.put = _atomic_put
+    _lru.LRUCache._scalellm_atomic = True
