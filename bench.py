@@ -300,6 +300,13 @@ def run_prefill_bench(preset: str, T: int = 2048, page_size: int = 16):
 def main():
     import jax
 
+    # Persistent XLA compile cache: the driver re-runs this script every
+    # round in a fresh process; without the cache the 8B 64-step decode
+    # scan recompile alone costs many minutes over the tunnel.
+    from scalellm_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     platform = jax.devices()[0].platform
     on_tpu = platform == "tpu"
     batch = 1
