@@ -3,11 +3,18 @@
 Headline: decode tokens/s on a Llama-3.1-8B-shaped INT4 (group-128) model,
 batch=1 — BASELINE.json's north-star config, running the fused
 dequant+matmul Pallas kernel (ops/quant_matmul.py) and the ragged paged
-attention kernel. A TinyLlama-1.1B bf16 preset (configs[0]) is also
-measured and reported on stderr. Weights are random-initialized (no network
-egress); decode runs as a device-side lax.scan autoregressive loop (sampled
-token feeds back as the next input) so host↔device round-trips don't
-pollute the measurement.
+attention kernel. Weights are random/zero-initialized (no network egress);
+decode runs as a device-side lax.scan autoregressive loop (sampled token
+feeds back as the next input) so host↔device round-trips don't pollute the
+measurement.
+
+Crash isolation (round-4 fix): every preset runs in its OWN subprocess
+(``python bench.py --child <preset>``), each metric line is flushed to
+stderr the moment it is produced, and each child pre-flight-checks
+``resident_bytes + kv_bytes <= HBM budget`` and SKIPS (with a JSON
+warning) instead of dying with RESOURCE_EXHAUSTED. A crash in any one
+preset, serve run, or spec run can no longer erase the rest of the
+round's evidence; the headline JSON prints in a ``finally``.
 
 vs_baseline compares against the HBM-bandwidth roofline for batch-1 decode:
 every step must stream all weights from HBM once, so
@@ -17,8 +24,20 @@ every step must stream all weights from HBM once, so
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 import time
+
+# Per-preset decode batch sizes measured on TPU (b=1 always first).
+PRESET_BATCHES = {
+    "tinyllama-1.1b": (1, 8, 32),
+    "llama31-8b-int4": (1, 8),
+    "deepseek-v2-lite": (1, 8),
+    "tiny": (1,),
+}
+# v5e HBM is 16 GB; leave headroom for XLA scratch + donated-buffer copies.
+HBM_BUDGET_BYTES = float(os.environ.get("BENCH_HBM_BYTES", 13.8e9))
 
 
 def build_model(preset: str):
@@ -60,9 +79,12 @@ def build_model(preset: str):
             max_position_embeddings=2048,
         )
     elif preset == "deepseek-v2-lite":
-        # DeepSeek-V2-Lite shape (MLA + MoE): exercises the K-only latent
-        # cache and the Pallas MLA decode kernel (ops/mla_attention.py) at
-        # real dims. Weights random/zero (no egress); timing is real.
+        # DeepSeek-V2-Lite per-layer shape (MLA + MoE): exercises the
+        # K-only latent cache and the Pallas MLA decode kernel
+        # (ops/mla_attention.py) at real dims. The full 27-layer model is
+        # ~29 GB bf16 — over a 16 GB v5e chip — so the bench runs 10
+        # layers (1 dense + 9 MoE ≈ 11 GB); per-token step time scales
+        # linearly in layers, and the MLA/MoE kernels see real shapes.
         from scalellm_tpu.models.deepseek import (
             MLADecoderModel, load_deepseek_v2_model_args,
         )
@@ -71,7 +93,7 @@ def build_model(preset: str):
             torch_dtype="bfloat16",
             hidden_size=2048,
             intermediate_size=10944,
-            num_hidden_layers=layers_override or 27,
+            num_hidden_layers=layers_override or 10,
             num_attention_heads=16,
             vocab_size=102400,
             max_position_embeddings=4096,
@@ -115,6 +137,15 @@ def build_model(preset: str):
 
 def param_bytes(model) -> int:
     """Bytes streamed from HBM per decode step (all weights once)."""
+    return _weight_bytes(model, resident=False)
+
+
+def resident_bytes(model) -> int:
+    """Bytes of HBM the parameters occupy (pre-flight memory check)."""
+    return _weight_bytes(model, resident=True)
+
+
+def _weight_bytes(model, resident: bool) -> int:
     import numpy as np
 
     total = 0
@@ -135,7 +166,11 @@ def param_bytes(model) -> int:
                     else sc_itemsize if k == "scales"
                     else float_itemsize
                 )
-                if k == "embed_tokens" and not model.args.tie_word_embeddings:
+                if (
+                    not resident
+                    and k == "embed_tokens"
+                    and not model.args.tie_word_embeddings
+                ):
                     # decode reads one embedding row, not the whole table
                     continue
                 total += int(np.prod(v)) * itemsize
@@ -144,16 +179,29 @@ def param_bytes(model) -> int:
     return total
 
 
-def run_decode_bench(preset: str, batch: int, steps: int, page_size: int = 16):
+def preflight_bytes(model, batch: int, steps: int, ctx: int,
+                    page_size: int = 16) -> int:
+    """Resident params + KV cache for the bench config, in bytes."""
+    import numpy as np
+
+    pages_per_seq = (ctx + 1 + steps + page_size - 1) // page_size + 1
+    num_pages = 1 + batch * pages_per_seq
+    shape = model.kv_cache_shape(num_pages, page_size)
+    kv_itemsize = 2 if model.args.dtype in ("bfloat16", "float16") else 4
+    kv = int(np.prod(shape)) * kv_itemsize
+    return resident_bytes(model) + kv
+
+
+def run_decode_bench(preset: str, batch: int, steps: int, page_size: int = 16,
+                     model=None):
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from scalellm_tpu.engine.params import ModelInputs
 
-    model = build_model(preset)
+    model = model or build_model(preset)
     a = model.args
-    import os
 
     if os.environ.get("BENCH_FAST_INIT") or preset in (
         "llama31-8b-int4", "deepseek-v2-lite",
@@ -297,25 +345,190 @@ def run_prefill_bench(preset: str, T: int = 2048, page_size: int = 16):
     return T / dt, dt
 
 
-def main():
+def _emit(obj) -> None:
+    """One metric JSON line, flushed immediately (crash-survivable)."""
+    print(json.dumps(obj), flush=True)
+
+
+def child_main(preset: str) -> None:
+    """Run every measurement for ONE preset; each metric is a flushed
+    JSON line on stdout. Pre-flight memory math skips configs that cannot
+    fit the chip instead of dying with RESOURCE_EXHAUSTED."""
     import jax
 
-    # Persistent XLA compile cache: the driver re-runs this script every
-    # round in a fresh process; without the cache the 8B 64-step decode
-    # scan recompile alone costs many minutes over the tunnel.
     from scalellm_tpu.utils.compile_cache import enable_compilation_cache
 
     enable_compilation_cache()
+    on_tpu = jax.devices()[0].platform == "tpu"
+    steps = 64 if on_tpu else 8
+    ctx = int(os.environ.get("BENCH_CTX", 0)) or 128
+
+    batches = PRESET_BATCHES.get(preset, (1,))
+    if os.environ.get("BENCH_QUICK"):
+        batches = batches[:1]  # b=1 only (kernel sweeps)
+
+    model = build_model(preset)
+    need = preflight_bytes(model, max(batches), steps, ctx)
+    if on_tpu and need > HBM_BUDGET_BYTES:
+        biggest = max(
+            (b for b in batches
+             if preflight_bytes(model, b, steps, ctx) <= HBM_BUDGET_BYTES),
+            default=0,
+        )
+        if not biggest:
+            _emit({
+                "metric": f"decode_tokens_per_s_{preset}",
+                "skipped": "preflight: "
+                           f"{need / 1e9:.1f} GB > {HBM_BUDGET_BYTES / 1e9:.1f} GB budget",
+            })
+            return
+        batches = tuple(b for b in batches if b <= biggest)
+        _emit({
+            "metric": f"decode_tokens_per_s_{preset}",
+            "warning": f"preflight trimmed batches to {batches} "
+                       f"({need / 1e9:.1f} GB over budget at b={max(PRESET_BATCHES[preset])})",
+        })
+
+    for batch in batches:
+        toks_per_s, model = run_decode_bench(preset, batch, steps, model=model)
+        result = {
+            "metric": f"decode_tokens_per_s_{preset}_b{batch}",
+            "value": round(toks_per_s, 2),
+            "unit": "tokens/s",
+        }
+        if batch == 1:
+            hbm_bw = 819e9 if on_tpu else 50e9
+            result["vs_baseline"] = round(
+                toks_per_s / (hbm_bw / param_bytes(model)), 4
+            )
+        if preset == "deepseek-v2-lite":
+            result["layers"] = model.args.n_layers
+        _emit(result)
+
+    if preset == "tinyllama-1.1b" and not os.environ.get("BENCH_QUICK"):
+        pre_tps, pre_dt = run_prefill_bench(preset)
+        _emit({
+            "metric": f"prefill_tokens_per_s_{preset}_T2048",
+            "value": round(pre_tps, 1),
+            "unit": "tokens/s",
+            "ttft_s": round(pre_dt, 4),
+        })
+
+
+def _run_child(preset: str, timeout_s: int = 2700) -> list:
+    """Run one preset in a subprocess; echo its metric lines to stderr as
+    soon as it exits; NEVER raise (a dead preset costs only itself)."""
+    lines = []
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child", preset],
+            capture_output=True, text=True, timeout=timeout_s,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        for line in out.stdout.splitlines():
+            line = line.strip()
+            if not line.startswith("{"):
+                continue
+            try:
+                d = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            lines.append(d)
+            print(json.dumps(d), file=sys.stderr, flush=True)
+        if out.returncode != 0:
+            errlines = [l for l in out.stderr.splitlines() if l.strip()]
+            tail = "\n".join(errlines[-6:])
+            print(
+                json.dumps({"metric": f"preset_{preset}",
+                            "error": f"rc={out.returncode}", "tail": tail}),
+                file=sys.stderr, flush=True,
+            )
+    except Exception as e:  # timeout etc. — keep going
+        print(
+            json.dumps({"metric": f"preset_{preset}", "error": str(e)}),
+            file=sys.stderr, flush=True,
+        )
+    return lines
+
+
+def _serve_section(repo: str) -> None:
+    """ShareGPT-style mixed prefill/decode serving (BASELINE config 3):
+    steady-state continuous batching with prefix-cache reuse, each run in
+    a subprocess (own engine + TPU client)."""
+
+    def serve_run(preset, n_req, extra=(), tag=""):
+        try:
+            out = subprocess.run(
+                [
+                    sys.executable, "benchmarks/serve_bench.py",
+                    "--preset", preset, "--num-requests", str(n_req),
+                    "--mean-prompt", "128", "--mean-output", "64",
+                    "--json-only", *extra,
+                ],
+                capture_output=True, text=True, timeout=2400, cwd=repo,
+            )
+            r = json.loads(out.stdout.strip().splitlines()[-1])
+            line = {
+                "metric": f"serve_mixed_output_tokens_per_s_{preset}{tag}",
+                "value": r["output_tokens_per_s"],
+                "unit": "tokens/s",
+                "p50_ttft_s": r["p50_ttft_s"],
+                "p95_ttft_s": r["p95_ttft_s"],
+                "p50_itl_s": r["p50_itl_s"],
+                "mid_serve_compiles": r["mid_serve_compiles"],
+            }
+            if "multi_step_fraction" in r:
+                line["multi_step_fraction"] = r["multi_step_fraction"]
+            print(json.dumps(line), file=sys.stderr, flush=True)
+            return r
+        except Exception as e:  # auxiliary — never fail the run
+            print(
+                json.dumps(
+                    {"metric": f"serve_mixed_{preset}{tag}", "error": str(e)}
+                ),
+                file=sys.stderr, flush=True,
+            )
+
+    serve_run("tinyllama-1.1b", 48)
+    # Multi-step decode (num_decode_steps=4): N micro-steps per
+    # dispatch — one host round trip / batch prep per 4 tokens.
+    serve_run(
+        "tinyllama-1.1b", 48,
+        extra=("--num-decode-steps", "4"), tag="_ms4",
+    )
+    # BASELINE config 3: 8B-INT4 + prefix cache + chunked prefill,
+    # plus the multi-step and async-pipelined-scheduler A/Bs.
+    serve_run("llama31-8b-int4", 24)
+    serve_run(
+        "llama31-8b-int4", 24,
+        extra=("--num-decode-steps", "4"), tag="_ms4",
+    )
+    serve_run(
+        "llama31-8b-int4", 24,
+        extra=("--disable-async-scheduling",), tag="_sync",
+    )
+    # BASELINE config 4 honesty: trained target + weaker trained draft
+    # => real acceptance rate (benchmarks/spec_bench.py --trained).
+    try:
+        out = subprocess.run(
+            [sys.executable, "benchmarks/spec_bench.py", "--trained"],
+            capture_output=True, text=True, timeout=2400, cwd=repo,
+        )
+        print(out.stdout.strip().splitlines()[-1], file=sys.stderr, flush=True)
+    except Exception as e:
+        print(json.dumps({"metric": "spec_decode", "error": str(e)}),
+              file=sys.stderr, flush=True)
+
+
+def main():
+    if len(sys.argv) >= 3 and sys.argv[1] == "--child":
+        child_main(sys.argv[2])
+        return
+
+    import jax
 
     platform = jax.devices()[0].platform
     on_tpu = platform == "tpu"
-    batch = 1
-    steps = 64 if on_tpu else 8
-    # v5e HBM bandwidth ~819 GB/s; CPU number is meaningless but nonzero.
-    hbm_bw = 819e9 if on_tpu else 50e9
-
-    import os
-
     presets = (
         ["tinyllama-1.1b", "llama31-8b-int4", "deepseek-v2-lite"]
         if on_tpu
@@ -323,147 +536,27 @@ def main():
     )
     if os.environ.get("BENCH_PRESETS"):
         presets = os.environ["BENCH_PRESETS"].split(",")
+
     headline = None
-    for preset in presets:
-        toks_per_s, model = run_decode_bench(preset, batch, steps)
-        roofline = hbm_bw / param_bytes(model)
-        result = {
-            "metric": f"decode_tokens_per_s_{preset}_b{batch}",
-            "value": round(toks_per_s, 2),
-            "unit": "tokens/s",
-            "vs_baseline": round(toks_per_s / roofline, 4),
-        }
-        headline = result
-        print(json.dumps(result), file=sys.stderr)
-        if os.environ.get("BENCH_QUICK"):
-            continue  # b=1 only (kernel sweeps)
-        if on_tpu and preset == "llama31-8b-int4":
-            tps8, _ = run_decode_bench(preset, 8, steps)
-            print(
-                json.dumps(
-                    {
-                        "metric": f"decode_tokens_per_s_{preset}_b8",
-                        "value": round(tps8, 1),
-                        "unit": "tokens/s",
-                    }
-                ),
-                file=sys.stderr,
-            )
-        if on_tpu and preset == "deepseek-v2-lite":
-            # MLA decode perf evidence (VERDICT r2 #6): the K-only latent
-            # cache + Pallas MLA decode kernel at V2-Lite dims.
-            for b in (8,):
-                tps_b, _ = run_decode_bench(preset, b, steps)
-                print(
-                    json.dumps(
-                        {
-                            "metric": f"decode_tokens_per_s_{preset}_b{b}",
-                            "value": round(tps_b, 1),
-                            "unit": "tokens/s",
-                        }
-                    ),
-                    file=sys.stderr,
-                )
-        if on_tpu and preset == "tinyllama-1.1b":
-            # Batched decode: shows continuous-batching scale-up (weights
-            # amortize across lanes; near-free until compute-bound).
-            for b in (8, 32):
-                tps_b, _ = run_decode_bench(preset, b, steps)
-                print(
-                    json.dumps(
-                        {
-                            "metric": f"decode_tokens_per_s_{preset}_b{b}",
-                            "value": round(tps_b, 1),
-                            "unit": "tokens/s",
-                        }
-                    ),
-                    file=sys.stderr,
-                )
-            pre_tps, pre_dt = run_prefill_bench(preset)
-            print(
-                json.dumps(
-                    {
-                        "metric": f"prefill_tokens_per_s_{preset}_T2048",
-                        "value": round(pre_tps, 1),
-                        "unit": "tokens/s",
-                        "ttft_s": round(pre_dt, 4),
-                    }
-                ),
-                file=sys.stderr,
-            )
-    if on_tpu and os.environ.get("BENCH_SERVE", "1") != "0":
-        # ShareGPT-style mixed prefill/decode serving (BASELINE config 3):
-        # steady-state continuous batching with prefix-cache reuse, in a
-        # subprocess (own engine + TPU client).
-        import subprocess
-
-        repo = os.path.dirname(os.path.abspath(__file__))
-
-        def serve_run(preset, n_req, extra=(), tag=""):
-            try:
-                out = subprocess.run(
-                    [
-                        sys.executable, "benchmarks/serve_bench.py",
-                        "--preset", preset, "--num-requests", str(n_req),
-                        "--mean-prompt", "128", "--mean-output", "64",
-                        "--json-only", *extra,
-                    ],
-                    capture_output=True, text=True, timeout=2400, cwd=repo,
-                )
-                r = json.loads(out.stdout.strip().splitlines()[-1])
-                print(
-                    json.dumps(
-                        {
-                            "metric": f"serve_mixed_output_tokens_per_s_{preset}{tag}",
-                            "value": r["output_tokens_per_s"],
-                            "unit": "tokens/s",
-                            "p50_ttft_s": r["p50_ttft_s"],
-                            "p95_ttft_s": r["p95_ttft_s"],
-                            "p50_itl_s": r["p50_itl_s"],
-                            "mid_serve_compiles": r["mid_serve_compiles"],
-                        }
-                    ),
-                    file=sys.stderr,
-                )
-                return r
-            except Exception as e:  # auxiliary — never fail the run
-                print(
-                    json.dumps(
-                        {"metric": f"serve_mixed_{preset}{tag}", "error": str(e)}
-                    ),
-                    file=sys.stderr,
-                )
-
-        serve_run("tinyllama-1.1b", 48)
-        # Multi-step decode (num_decode_steps=4): N micro-steps per
-        # dispatch — one host round trip / batch prep per 4 tokens.
-        serve_run(
-            "tinyllama-1.1b", 48,
-            extra=("--num-decode-steps", "4"), tag="_ms4",
-        )
-        # BASELINE config 3: 8B-INT4 + prefix cache + chunked prefill,
-        # plus the async-pipelined-scheduler A/B (VERDICT r2 #3).
-        serve_run("llama31-8b-int4", 24)
-        serve_run(
-            "llama31-8b-int4", 24,
-            extra=("--num-decode-steps", "4"), tag="_ms4",
-        )
-        serve_run(
-            "llama31-8b-int4", 24,
-            extra=("--disable-async-scheduling",), tag="_sync",
-        )
-        # BASELINE config 4 honesty: trained target + weaker trained draft
-        # => real acceptance rate (benchmarks/spec_bench.py --trained).
-        try:
-            out = subprocess.run(
-                [sys.executable, "benchmarks/spec_bench.py", "--trained"],
-                capture_output=True, text=True, timeout=2400, cwd=repo,
-            )
-            print(out.stdout.strip().splitlines()[-1], file=sys.stderr)
-        except Exception as e:
-            print(json.dumps({"metric": "spec_decode", "error": str(e)}),
-                  file=sys.stderr)
-    print(json.dumps(headline))
+    repo = os.path.dirname(os.path.abspath(__file__))
+    try:
+        for preset in presets:
+            for d in _run_child(preset):
+                is_b1 = d.get("metric", "").endswith("_b1") and "value" in d
+                if is_b1 and (headline is None
+                              or preset == "llama31-8b-int4"):
+                    headline = d
+        if on_tpu and os.environ.get("BENCH_SERVE", "1") != "0":
+            _serve_section(repo)
+    finally:
+        # The headline must survive anything above dying mid-flight.
+        print(json.dumps(
+            headline
+            if headline is not None
+            else {"metric": "decode_tokens_per_s", "error": "no preset ran"}
+        ), flush=True)
+    if headline is None:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

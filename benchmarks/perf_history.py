@@ -22,8 +22,8 @@ import sys
 from typing import Dict, List, Tuple
 
 
-def parse_bench_file(path: str) -> Dict[str, dict]:
-    """BENCH_rNN.json → {metric: line_dict} (last occurrence wins)."""
+def parse_bench_file(path: str) -> Tuple[Dict[str, dict], int]:
+    """BENCH_rNN.json → ({metric: line_dict}, rc) (last occurrence wins)."""
     with open(path) as f:
         rec = json.load(f)
     metrics: Dict[str, dict] = {}
@@ -37,16 +37,17 @@ def parse_bench_file(path: str) -> Dict[str, dict]:
             continue
         if isinstance(d, dict) and "metric" in d and "value" in d:
             metrics[d["metric"]] = d
-    return metrics
+    return metrics, int(rec.get("rc", 0) or 0)
 
 
-def load_history(root: str) -> List[Tuple[int, Dict[str, dict]]]:
+def load_history(root: str) -> List[Tuple[int, Dict[str, dict], int]]:
     out = []
     for path in sorted(glob.glob(os.path.join(root, "BENCH_r*.json"))):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
         if not m:
             continue
-        out.append((int(m.group(1)), parse_bench_file(path)))
+        metrics, rc = parse_bench_file(path)
+        out.append((int(m.group(1)), metrics, rc))
     return out
 
 
@@ -66,16 +67,22 @@ def main() -> int:
         return 0
 
     all_metrics: List[str] = []
-    for _, metrics in history:
+    for _, metrics, _rc in history:
         for name in metrics:
             if name not in all_metrics:
                 all_metrics.append(name)
 
-    latest_round, latest = history[-1]
+    latest_round, latest, latest_rc = history[-1]
     rows = []
     regressions = []
+    if latest_rc != 0:
+        # A crashed bench is total evidence loss, not a clean slate — fail
+        # loudly instead of silently passing (round-3 postmortem).
+        regressions.append(
+            (f"BENCH_r{latest_round:02d}", f"bench crashed (rc={latest_rc})")
+        )
     for name in all_metrics:
-        series = [(r, m[name]["value"]) for r, m in history if name in m]
+        series = [(r, m[name]["value"]) for r, m, _rc in history if name in m]
         cur = latest.get(name, {}).get("value")
         prior = [v for r, v in series if r != latest_round]
         best_prior = max(prior) if prior else None
@@ -104,13 +111,13 @@ def main() -> int:
         with open(args.markdown, "w") as f:
             f.write("# Bench history (driver-run, real TPU)\n\n")
             f.write("| metric | " + " | ".join(
-                f"r{r:02d}" for r, _ in history) + " | vs_baseline |\n")
+                f"r{r:02d}" for r, _m, _rc in history) + " | vs_baseline |\n")
             f.write("|" + "---|" * (len(history) + 2) + "\n")
             for name, series, cur, status, vsb in rows:
                 by_round = dict(series)
                 cells = " | ".join(
                     f"{by_round[r]:g}" if r in by_round else "—"
-                    for r, _ in history)
+                    for r, _m, _rc in history)
                 f.write(f"| {name} | {cells} | "
                         f"{vsb if vsb is not None else '—'} |\n")
 

@@ -69,6 +69,17 @@ def time_tp(preset: str, tp: int, batch: int, steps: int, reps: int = 3):
     executor = Executor(model, params, mesh=mesh)
     executor.init_kv_cache(num_blocks=batch * 12 + 4, block_size=16)
 
+    # Per-device weight bytes: decode is weight-stream-bound, so ideal tp
+    # scaling means each chip streams 1/tp of the bytes. This is exact and
+    # contention-free even on the virtual CPU mesh (where wall-clock is
+    # noise: the 8 "devices" share the host's cores).
+    dev0 = devices[0]
+    shard_bytes = 0
+    for leaf in jax.tree_util.tree_leaves(executor.params):
+        for s in getattr(leaf, "addressable_shards", []):
+            if s.device == dev0:
+                shard_bytes += s.data.nbytes
+
     import __graft_entry__ as ge
 
     mi, si = ge._example_inputs(
@@ -91,7 +102,7 @@ def time_tp(preset: str, tp: int, batch: int, steps: int, reps: int = 3):
         outs = executor.execute(mi, si)
     np.asarray(outs.next_tokens)
     dt = (time.perf_counter() - t0) / (reps * steps)
-    return dt
+    return dt, shard_bytes
 
 
 def main():
@@ -115,18 +126,32 @@ def main():
         or [t for t in (1, 2, 4, 8, 16) if t <= n]
     )
     results = {}
+    bytes_per_dev = {}
     for tp in tps:
-        dt = time_tp(args.preset, tp, args.batch, args.steps)
+        dt, sb = time_tp(args.preset, tp, args.batch, args.steps)
         results[tp] = dt
+        bytes_per_dev[tp] = sb
         if not args.json_only:
-            print(f"tp={tp}: {dt*1e3:.2f} ms/step", file=sys.stderr)
+            print(f"tp={tp}: {dt*1e3:.2f} ms/step, "
+                  f"{sb/1e9:.3f} GB weights/device", file=sys.stderr)
     t1 = results.get(1)
+    b1 = bytes_per_dev.get(1)
     out = {
         "metric": f"tp_scaling_{args.preset}_b{args.batch}",
         "ms_per_step": {str(k): round(v * 1e3, 3) for k, v in results.items()},
         "efficiency": {
             str(k): round(t1 / (k * v), 4) for k, v in results.items()
         } if t1 else {},
+        # Weight-stream scaling: per-device bytes must track 1/tp — the
+        # deterministic part of tp efficiency (exact even on the virtual
+        # CPU mesh, where wall-clock efficiency is core-contention noise).
+        "weight_bytes_per_device": {
+            str(k): v for k, v in bytes_per_dev.items()
+        },
+        "weight_stream_efficiency": {
+            str(k): round(b1 / (k * v), 4) for k, v in bytes_per_dev.items()
+            if v
+        } if b1 else {},
         "platform": jax.devices()[0].platform,
     }
     print(json.dumps(out))

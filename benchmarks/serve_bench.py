@@ -176,6 +176,15 @@ def main():
         "prefix_cache_blocks": metrics.GAUGES.get("num_blocks_in_prefix_cache"),
         "mid_serve_compiles": metrics.COUNTERS.get("num_mid_serve_compiles"),
     }
+    if args.num_decode_steps > 1:
+        # Fast-path coverage: what fraction of engine dispatches took the
+        # N-micro-step scan (batch.can_multi_step() gates it off for
+        # guided decoding / penalties / pending rows).
+        n_steps = metrics.COUNTERS.get("num_engine_steps") or 0
+        n_multi = metrics.COUNTERS.get("num_multi_steps") or 0
+        result["multi_step_fraction"] = (
+            round(n_multi / n_steps, 3) if n_steps else 0.0
+        )
     print(json.dumps(result) if args.json_only else json.dumps(result, indent=2))
 
 

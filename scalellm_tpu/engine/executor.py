@@ -298,7 +298,20 @@ class Executor:
                 page = pos // page_size
                 page = jnp.minimum(page, mi.block_tables.shape[1] - 1)
                 bids = mi.block_tables[mi.token_seg, page]
-                slots = bids * page_size + pos % page_size
+                # Bucket-padding rows carry token_seg=0 and would otherwise
+                # recompute slots into sequence 0's REAL pages (they'd
+                # overwrite its first KV block with garbage — caught by the
+                # ms-vs-single equivalence tests once the scheduler actually
+                # routed batches here). Pin them to reserved page 0 like the
+                # host-side prepare does.
+                T = mi.token_ids.shape[0]
+                valid = (
+                    jnp.arange(T, dtype=jnp.int32)
+                    < mi.cu_q_lens[mi.num_seqs[0]]
+                )
+                slots = jnp.where(
+                    valid, bids * page_size + pos % page_size, 0
+                )
                 mi_i = dataclasses.replace(
                     mi,
                     token_ids=tokens,

@@ -21,6 +21,15 @@ class BlockAllocator:
         self._total_blocks = total_blocks
         # LIFO free list for locality.
         self._free_ids: List[int] = list(range(total_blocks - 1, -1, -1))
+        # Ids pinned out of the pool forever (the manager's padding block).
+        self._reserved_ids: set = set()
+
+    def reserve(self, block_id: int) -> None:
+        """Mark an allocated block as permanently reserved: freeing it is
+        a bug (multi-step decode writes overshoot KV through zero-padded
+        block tables into the padding block)."""
+        assert block_id not in self._free_ids
+        self._reserved_ids.add(block_id)
 
     @property
     def block_size(self) -> int:
@@ -48,4 +57,12 @@ class BlockAllocator:
 
     def free(self, block_id: int) -> None:
         """Called by Block.dec_ref when refcount hits 0."""
+        # Reserved blocks (the manager's padding block 0, reference:
+        # block_manager.cpp:40-42) must NEVER return to the free pool:
+        # multi-step decode's past-end micro-steps write KV through the
+        # zero-padded block-table tail into page 0 (executor.py overshoot
+        # invariant).
+        assert block_id not in self._reserved_ids, (
+            "padding block must stay reserved"
+        )
         self._free_ids.append(block_id)

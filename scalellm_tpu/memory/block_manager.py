@@ -39,6 +39,7 @@ class BlockManager:
         # Reserve block 0 for padding (never handed to sequences).
         self._padding_block = self._allocator.allocate()
         assert self._padding_block.id == 0
+        self._allocator.reserve(0)
 
     @property
     def options(self) -> BlockManagerOptions:

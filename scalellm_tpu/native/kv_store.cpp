@@ -74,7 +74,13 @@ class KVStore {
   void inc_ref(int id) { refs_[id] += 1; }
 
   void dec_ref(int id) {
-    if (--refs_[id] == 0) free_list_.push_back(id);
+    if (--refs_[id] == 0) {
+      // Block 0 is the reserved padding block (block_manager.cpp:40-42);
+      // multi-step decode writes past-end KV through the zero-padded
+      // block-table tail into it, so it must never re-enter the pool.
+      assert(id != 0 && "padding block 0 must stay reserved");
+      free_list_.push_back(id);
+    }
   }
 
   int ref_count(int id) const { return refs_[id]; }

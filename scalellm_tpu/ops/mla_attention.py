@@ -97,9 +97,10 @@ def _mla_decode_kernel(
     kv_lens_ref,  # i32[S]
     page_indices_ref,  # i32[S, pages_per_seq]
     q_ref,  # [1, H, Dc]
-    k_hbm_ref,  # [P, page_size, 1, Dc] (ANY)
+    k_hbm_ref,  # [P, page_size, Dc] (ANY; singleton KV-head dim squeezed —
+    #             Mosaic rejects size-1 slices of the bf16-packed sublane dim)
     o_ref,  # [1, H, v_dim]
-    k_bufs,  # [2, chunk_pages, page_size, 1, Dc]
+    k_bufs,  # [2, chunk_pages, page_size, Dc]
     sems,  # DMA [2]
     cnt_ref,  # SMEM [1]
     *,
@@ -110,7 +111,7 @@ def _mla_decode_kernel(
 ):
     s = pl.program_id(0)
     S = pl.num_programs(0)
-    _, cp, page_size, _, Dc = k_bufs.shape
+    _, cp, page_size, Dc = k_bufs.shape
     _, H, _ = q_ref.shape
     C = cp * page_size
     pages_per_seq = page_indices_ref.shape[1]
@@ -242,11 +243,14 @@ def mla_decode_attention(
         ],
         out_specs=pl.BlockSpec((1, H, v_dim), lambda s, *_: (s, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, chunk_pages, page_size, 1, Dc), k_pages.dtype),
+            pltpu.VMEM((2, chunk_pages, page_size, Dc), k_pages.dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SMEM((1,), jnp.int32),
         ],
     )
+    # Squeeze the singleton KV-head dim: a [page_size, 1, Dc] DMA slice is
+    # unaligned for bf16 (sublane tiling 2) and Mosaic rejects it.
+    k_pages = k_pages.reshape(P, page_size, Dck)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((S, H, v_dim), q.dtype),
@@ -269,10 +273,10 @@ def _mla_prefill_kernel(
     page_indices_ref,  # i32[S, pages_per_seq]
     cu_q_lens_ref,  # i32[S+1]
     q_hbm_ref,  # [T, H, Dc] (ANY)
-    k_hbm_ref,  # [P, page_size, 1, Dc] (ANY)
+    k_hbm_ref,  # [P, page_size, Dc] (ANY; singleton KV-head dim squeezed)
     o_hbm_ref,  # [T, H, v_dim] (ANY)
     q_buf,  # VMEM [Bq, H, Dc]
-    k_bufs,  # VMEM [2, chunk_pages, page_size, 1, Dc]
+    k_bufs,  # VMEM [2, chunk_pages, page_size, Dc]
     o_buf,  # VMEM [Bq, H, v_dim]
     q_sem,
     k_sems,  # DMA [2]
@@ -284,7 +288,7 @@ def _mla_prefill_kernel(
     k_scale: Optional[float],
 ):
     s, qb = pl.program_id(0), pl.program_id(1)
-    _, cp, page_size, _, Dc = k_bufs.shape
+    _, cp, page_size, Dc = k_bufs.shape
     Bq, H, _ = q_buf.shape
     C = cp * page_size
     pages_per_seq = page_indices_ref.shape[1]
@@ -442,7 +446,7 @@ def mla_prefill_attention(
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((block_q, H, Dc), q.dtype),
-            pltpu.VMEM((2, chunk_pages, page_size, 1, Dc), k_pages.dtype),
+            pltpu.VMEM((2, chunk_pages, page_size, Dc), k_pages.dtype),
             pltpu.VMEM((block_q, H, v_dim), q.dtype),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA((2,)),
@@ -452,6 +456,8 @@ def mla_prefill_attention(
     # Pad T so every q block's dynamic slice stays in bounds.
     T_pad = n_qb * block_q
     q_in = jnp.pad(q, ((0, T_pad - T), (0, 0), (0, 0))) if T_pad > T else q
+    # Squeeze the singleton KV-head dim (Mosaic sublane-tiling alignment).
+    k_pages = k_pages.reshape(P, page_size, Dck)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((T_pad, H, v_dim), q.dtype),

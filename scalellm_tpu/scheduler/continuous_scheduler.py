@@ -130,10 +130,21 @@ class ContinuousScheduler:
         build+dispatch N+1 (token values still on device feed forward
         in-graph), then fetch/deliver N — the host work hides behind the
         device step instead of serializing with it."""
+        if self._inflight is not None and self._multi_n > 1:
+            # Multi-step + async don't compose: a pipelined build marks
+            # rows pending (their token values are still on device), which
+            # disqualifies can_multi_step, so a full pipeline would lock
+            # the scheduler into single-step dispatches forever (measured:
+            # multi_step_fraction 0.0 and -21% throughput on the serve mix).
+            # Drain first — the N-step scan amortizes the host round trip
+            # better than single-step pipelining hides it.
+            self._resolve_inflight()
         if self._inflight is not None:
             # Build the next batch BEFORE resolving the in-flight step;
             # pending-token rows read the in-flight samples on device.
             nxt = self._build_batch(0.0, pipelined=True)
+            if nxt.entries and self._multi_n > 1:
+                COUNTERS.inc("num_engine_steps")
             if nxt.entries and not self._starved and not nxt.needs_sync():
                 outs = self._engine.dispatch_model(
                     nxt, prev_outs=self._inflight[1]
@@ -154,6 +165,10 @@ class ContinuousScheduler:
         batch = self._build_batch(timeout_s)
         if not batch.entries:
             return 0
+        if self._multi_n > 1:
+            # Fast-path coverage telemetry: multi_step_fraction =
+            # num_multi_steps / num_engine_steps in the serve bench.
+            COUNTERS.inc("num_engine_steps")
         if self._multi_n > 1 and batch.can_multi_step():
             t0 = time.monotonic()
             self._engine.execute_model_multi(batch, self._multi_n)

@@ -41,11 +41,51 @@ def enable_compilation_cache() -> None:
 
         jax.config.update("jax_compilation_cache_dir", loc)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # Bound the cache: every round's kernel changes mint fresh HLO keys,
+        # so the dir grows unboundedly on the bench host (advisor r3).
+        # jax's own LRU eviction path races on its -atime sidecar files
+        # across concurrent processes (FileNotFoundError inside put, every
+        # write lost), so keep eviction disabled (max_size=-1 default,
+        # which also keeps the atomic-write patch active) and prune oldest
+        # entries ourselves at startup instead.
+        _prune_cache_dir(
+            loc, int(os.environ.get("SCALELLM_COMPILE_CACHE_MAX", 8 << 30))
+        )
         _patch_atomic_writes()
         _enabled = True
         logger.info("persistent compilation cache at %s", loc)
     except Exception:  # never fail engine init over a cache
         logger.exception("compilation cache setup failed (continuing)")
+
+
+def _prune_cache_dir(loc: str, max_bytes: int) -> None:
+    """Evict oldest cache entries until the dir fits max_bytes. Runs once
+    per process at enable time; concurrent-safe (missing files are fine)."""
+    try:
+        entries = []
+        with os.scandir(loc) as it:
+            for e in it:
+                try:
+                    st = e.stat()
+                except OSError:
+                    continue
+                if e.is_file():
+                    entries.append((st.st_mtime, st.st_size, e.path))
+        total = sum(sz for _, sz, _ in entries)
+        if total <= max_bytes:
+            return
+        entries.sort()  # oldest first
+        for _, sz, path in entries:
+            try:
+                os.remove(path)
+            except OSError:
+                pass
+            total -= sz
+            if total <= max_bytes:
+                break
+        logger.info("pruned compile cache to %.1f GB", total / 1e9)
+    except Exception:  # never fail startup over cache hygiene
+        logger.exception("compile-cache prune failed (continuing)")
 
 
 def _patch_atomic_writes() -> None:

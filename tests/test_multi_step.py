@@ -120,3 +120,51 @@ def test_multi_step_batch_of_mixed_lengths(tmp_path):
             )
         res[n] = [o.outputs[0].text for o in outs]
     assert res[1] == res[4]
+
+
+def test_padding_block_zero_stays_reserved():
+    """Multi-step overshoot safety: past-end micro-steps write KV through
+    the zero-padded block-table tail into page 0, which is only safe while
+    page 0 stays reserved. Pin that invariant in BOTH block managers
+    (reference analog: block_manager.cpp:40-42 block-0 padding)."""
+    import pytest
+
+    from scalellm_tpu.memory.block_allocator import BlockAllocator
+    from scalellm_tpu.memory.block_manager import BlockManager, BlockManagerOptions
+
+    alloc = BlockAllocator(8, 16)
+    b0 = alloc.allocate()
+    assert b0.id == 0
+    alloc.reserve(0)
+    with pytest.raises(AssertionError):
+        alloc.free(0)
+
+    mgr = BlockManager(BlockManagerOptions(num_blocks=8, block_size=16))
+    assert mgr._padding_block.ref_count >= 1
+
+
+def test_multi_step_native_manager_keeps_page_zero(tmp_path):
+    """End-to-end: a multi-step run through the NATIVE block manager must
+    leave block 0 referenced (never recycled into the free pool)."""
+    from scalellm_tpu.native import load
+
+    if load() is None:
+        import pytest
+
+        pytest.skip("native extension not built")
+    from scalellm_tpu import LLM, SamplingParams
+    from scalellm_tpu.memory.native_block_manager import NativeBlockManager
+
+    path = trained_tiny_llama_cached()
+    with LLM(
+        model=path, num_blocks=64, block_size=16,
+        enable_prefix_cache=False, num_decode_steps=4,
+    ) as llm:
+        mgr = llm._handler.engine.block_manager
+        assert isinstance(mgr, NativeBlockManager)
+        llm.generate(
+            ["the quick brown", "once"],
+            SamplingParams(max_tokens=21, temperature=0.0),
+        )
+        assert mgr._store.ref_count(0) >= 1
+        assert mgr.num_free_blocks < 64  # block 0 + allocations accounted

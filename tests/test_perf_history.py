@@ -52,3 +52,15 @@ def test_markdown_written(tmp_path):
     r = _run(tmp_path, "--markdown", str(out))
     assert r.returncode == 0
     assert "| decode | 100 | 0.5 |" in out.read_text()
+
+
+def test_crashed_round_fails(tmp_path):
+    """rc != 0 in the newest BENCH file is total evidence loss — the gate
+    must flag it even when no metric regressed (round-3 postmortem: the
+    r03 crash silently passed the old gate)."""
+    _bench_file(tmp_path, 1, [{"metric": "decode", "value": 100.0, "unit": "tok/s"}])
+    tail = json.dumps({"metric": "decode", "value": 101.0, "unit": "tok/s"})
+    (tmp_path / "BENCH_r02.json").write_text(json.dumps({"rc": 1, "tail": tail}))
+    r = _run(tmp_path)
+    assert r.returncode == 1
+    assert "crashed" in r.stderr
