@@ -79,12 +79,14 @@ def build_model(preset: str):
             max_position_embeddings=2048,
         )
     elif preset == "deepseek-v2-lite":
-        # DeepSeek-V2-Lite per-layer shape (MLA + MoE): exercises the
-        # K-only latent cache and the Pallas MLA decode kernel
-        # (ops/mla_attention.py) at real dims. The full 27-layer model is
-        # ~29 GB bf16 — over a 16 GB v5e chip — so the bench runs 10
-        # layers (1 dense + 9 MoE ≈ 11 GB); per-token step time scales
-        # linearly in layers, and the MLA/MoE kernels see real shapes.
+        # DeepSeek-V2-Lite (MLA + MoE) with runtime-int8 ROUTED EXPERTS
+        # (ops/moe_quant.py): experts are ~97% of the weights (28.8 GB of
+        # the 29.3 GB bf16 model), so int8 experts halve them to 14.4 GB
+        # and the decode path streams only the ROUTED experts' blocks.
+        # 21 of 27 layers fit the 16 GB chip at int8 (int4 experts would
+        # fit full depth — future work); per-token step time scales
+        # linearly in layers. Exercises the K-only latent cache + the
+        # Pallas MLA decode kernel + the routed-expert quant kernel.
         from scalellm_tpu.models.deepseek import (
             MLADecoderModel, load_deepseek_v2_model_args,
         )
@@ -93,7 +95,7 @@ def build_model(preset: str):
             torch_dtype="bfloat16",
             hidden_size=2048,
             intermediate_size=10944,
-            num_hidden_layers=layers_override or 10,
+            num_hidden_layers=layers_override or 21,
             num_attention_heads=16,
             vocab_size=102400,
             max_position_embeddings=4096,
@@ -109,6 +111,10 @@ def build_model(preset: str):
             n_shared_experts=2,
             norm_topk_prob=False,
         ))
+        from scalellm_tpu.config import QuantArgs
+
+        args.quant_args = QuantArgs(quant_method="internal", bits=8,
+                                    group_size=128)
         return MLADecoderModel(args, ParallelConfig())
     elif preset == "tiny":  # CPU smoke test
         args = ModelArgs(
@@ -155,6 +161,16 @@ def _weight_bytes(model, resident: bool) -> int:
 
     sc_itemsize = np.dtype(scales_np_dtype()).itemsize
 
+    a = model.args
+    # Routed MoE experts: a decode step streams only the top-k (+shared)
+    # experts' bytes, not all E — the stream estimate (roofline
+    # denominator) must count that fraction or the roofline reads low.
+    routed_frac = (
+        (a.n_experts_per_token / a.n_experts)
+        if getattr(a, "n_experts", 0) and not resident
+        else 1.0
+    )
+
     def walk(node, name=""):
         nonlocal total
         for k, v in node.items():
@@ -173,7 +189,13 @@ def _weight_bytes(model, resident: bool) -> int:
                 ):
                     # decode reads one embedding row, not the whole table
                     continue
-                total += int(np.prod(v)) * itemsize
+                expert_keys = ("moe_gate", "moe_up", "moe_down")
+                frac = (
+                    routed_frac
+                    if (k in expert_keys or name in expert_keys)
+                    else 1.0
+                )
+                total += int(int(np.prod(v)) * itemsize * frac)
 
     walk(model.param_shapes())
     return total
@@ -272,8 +294,13 @@ def run_decode_bench(preset: str, batch: int, steps: int, page_size: int = 16,
             hidden, kv_cache = model.forward(
                 params, kv_cache, mi, decode_only=True
             )
-            logits = model.logits(params, hidden)
-            next_tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            if "logits" in os.environ.get("BENCH_ABLATE", ""):
+                # Fixed-cost decomposition: skip lm_head+argmax entirely
+                # (tokens become constant — timing diagnostic only).
+                next_tokens = tokens + hidden[0, :1].astype(jnp.int32) * 0
+            else:
+                logits = model.logits(params, hidden)
+                next_tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             return (kv_cache, next_tokens), next_tokens
 
         (kv_cache, _), out = jax.lax.scan(

@@ -47,8 +47,14 @@ def _on_tpu() -> bool:
         return False
 
 
-def _grouped_matmul(xs: jnp.ndarray, w: jnp.ndarray, group_sizes: jnp.ndarray):
-    """xs [T', K] sorted by expert; w [E, K, N]; group_sizes i32[E] → [T', N]."""
+def _grouped_matmul(xs: jnp.ndarray, w, group_sizes: jnp.ndarray):
+    """xs [T', K] sorted by expert; w [E, K, N] (or a quantized dict
+    {"qweight" int8 [E,K,N], "scales" [E,N]} — see ops/moe_quant.py);
+    group_sizes i32[E] → [T', N]."""
+    if isinstance(w, dict):
+        from scalellm_tpu.ops.moe_quant import grouped_quant_matmul
+
+        return grouped_quant_matmul(xs, w, group_sizes)
     if _on_tpu():
         from jax.experimental.pallas.ops.tpu.megablox import gmm
 

@@ -626,10 +626,14 @@ class DecoderModel:
             return rms_norm(x, w, a.rms_norm_eps, a.zero_centered_norm)
         return layer_norm(x, w, b, a.layer_norm_eps)
 
-    def _proj(self, x, w):
+    def _proj(self, x, w, rms=None):
         """x @ W for a dense or quantized projection, f32 result
         (quantized: fused dequant+matmul Pallas kernel, ops/quant_matmul.py —
-        the reference's QLinearImpl dispatch, qlinear_*_impl.h)."""
+        the reference's QLinearImpl dispatch, qlinear_*_impl.h).
+
+        rms=(gamma, eps) fuses the preceding RMSNorm into the kernel's
+        prologue (decode: one fewer XLA launch + HBM round trip per
+        projection); callers must then pass the UN-normed input."""
         if isinstance(w, dict):
             from scalellm_tpu.ops.quant_matmul import quant_matmul
 
@@ -651,8 +655,12 @@ class DecoderModel:
                 # streams layer __layer__'s tiles straight from the stacked
                 # HBM array (see forward()'s quant_stream).
                 layer=w.get("__layer__"),
+                rms_gamma=rms[0] if rms is not None else None,
+                rms_eps=float(rms[1]) if rms is not None else 1e-6,
             )
             return out.astype(jnp.float32)
+        if rms is not None:
+            x = rms_norm(x, rms[0], rms[1])
         return jnp.dot(x, w, preferred_element_type=jnp.float32)
 
     def _sm_scale(self) -> float:
@@ -828,9 +836,11 @@ class DecoderModel:
                 **extra,
             )
 
-        def dense_ffn(lp, x):
+        def dense_ffn(lp, x, rms=None):
             """Gated/plain FFN, pre-psum partial result. Gated path uses the
-            fused gate_up projection (one launch)."""
+            fused gate_up projection (one launch). rms=(gamma, eps) folds
+            the post-attention RMSNorm into the gate_up kernel prologue
+            (fused path only — callers gate on that)."""
             F = a.moe_shared_intermediate if a.n_experts > 0 else a.intermediate_size
             F_local = F // self.parallel.tp_size
             if a.mlp_gated and "gate_up_proj" not in lp:  # desc_act unfused
@@ -843,7 +853,7 @@ class DecoderModel:
                 u = lora_add(u, lp, "up_proj", x)
                 m = act_with_mul(a.hidden_act, g, u).astype(x.dtype)
             elif a.mlp_gated:
-                gu = self._proj(x, lp["gate_up_proj"])
+                gu = self._proj(x, lp["gate_up_proj"], rms=rms)
                 if a.mlp_bias:
                     gu = gu[:, : 2 * F_local] + lp["gate_up_bias"].astype(jnp.float32)
                 # explicit widths: tiled quant outputs may carry N padding
@@ -877,7 +887,7 @@ class DecoderModel:
                 return lax.all_gather(x, tp_axis, axis=0, tiled=True)
             return x
 
-        def mlp(lp, x):
+        def mlp(lp, x, rms=None):
             if a.n_experts > 0:
                 from scalellm_tpu.layers.moe import moe_mlp
 
@@ -903,7 +913,7 @@ class DecoderModel:
                 if tp_axis is not None:
                     m = lax.psum(m, tp_axis)
                 return m
-            m = dense_ffn(lp, x)
+            m = dense_ffn(lp, x, rms=rms)
             m = sp_combine(m)
             if a.mlp_bias:
                 # Row-parallel bias is added once, after the psum.
@@ -932,8 +942,34 @@ class DecoderModel:
                 for name, triple in quant_stream.items():
                     lp[name] = {**lp[name], **triple, "__layer__": li}
 
+            # Fused-norm fast path: quantized fused projections with a
+            # plain (bias-free) RMSNorm and no LoRA fold the norm into the
+            # quant kernel's prologue — the un-normed h goes straight in.
+            # (LoRA and parallel-residual need the normed x as a separate
+            # value; desc_act permutes rows before the kernel.)
+            def _rms_of(gamma):
+                if a.zero_centered_norm:
+                    gamma = 1.0 + gamma.astype(jnp.float32)
+                return (gamma, a.rms_norm_eps)
+
+            def _can_fuse(norm_key, bias_key, proj_key):
+                return (
+                    _os.environ.get("QUANT_FUSE_RMS", "1") != "0"
+                    and self.quant is not None
+                    and "norm" not in _ablate
+                    and a.norm_type == "rms_norm"
+                    and lp.get(bias_key) is None
+                    and self.lora_meta is None
+                    and not a.parallel_residual
+                    and isinstance(lp.get(proj_key), dict)
+                    and "perm" not in lp[proj_key]
+                )
+
             # ---- attention (fused qkv: one projection launch)
-            if "norm" in _ablate:
+            fuse_qkv_norm = _can_fuse(
+                "input_norm", "input_norm_bias", "qkv_proj"
+            )
+            if "norm" in _ablate or fuse_qkv_norm:
                 x = h
             else:
                 x = self._norm(h, lp["input_norm"], lp.get("input_norm_bias"))
@@ -949,7 +985,11 @@ class DecoderModel:
                     k = k + lp["k_bias"].astype(jnp.float32)
                     v = v + lp["v_bias"].astype(jnp.float32)
             else:
-                qkv = self._proj(x, lp["qkv_proj"])
+                qkv = self._proj(
+                    x,
+                    lp["qkv_proj"],
+                    rms=_rms_of(lp["input_norm"]) if fuse_qkv_norm else None,
+                )
                 if a.qkv_bias:
                     qkv = qkv + lp["qkv_bias"].astype(jnp.float32)
                 q = qkv[:, :q_n]
@@ -1048,11 +1088,20 @@ class DecoderModel:
             h = h + o.astype(h.dtype)
 
             # ---- mlp
-            if "norm" in _ablate:
+            fuse_mlp_norm = (
+                a.n_experts == 0
+                and a.mlp_gated
+                and _can_fuse("post_norm", "post_norm_bias", "gate_up_proj")
+            )
+            if "norm" in _ablate or fuse_mlp_norm:
                 x = h
             else:
                 x = self._norm(h, lp["post_norm"], lp.get("post_norm_bias"))
-            m = mlp(lp, sp_gather(x))
+            m = mlp(
+                lp,
+                sp_gather(x),
+                rms=_rms_of(lp["post_norm"]) if fuse_mlp_norm else None,
+            )
             if a.residual_post_layernorm:
                 m = self._norm(m.astype(h.dtype), lp["post_ffw_norm"])
             h = h + m.astype(h.dtype)

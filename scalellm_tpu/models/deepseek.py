@@ -130,7 +130,17 @@ class MLADecoderModel:
         self.n_local_heads = a.n_heads // tp
         self.n_local_kv_heads = 1  # MLA absorbed = MQA over the latent
         self.kv_replication = 1
-        self.quant = None  # quantized deepseek checkpoints TBD
+        self.quant = None  # pre-quantized (GPTQ/AWQ) deepseek checkpoints TBD
+        # Runtime-quantized ROUTED EXPERTS (int8, per-expert per-channel —
+        # ops/moe_quant.py): the experts are ~93% of V2-class weights, so
+        # this alone turns a 29 GB V2-Lite into ~10 GB, and the decode path
+        # streams only the ROUTED experts' blocks instead of scan-slicing
+        # the full stacked expert arrays every layer. Attention/dense/shared
+        # projections stay bf16 (int8 experts regardless of requested bits;
+        # int4 expert packing is future work).
+        self.moe_quant = bool(
+            a.n_experts > 0 and a.quant_args and a.quant_args.enabled
+        )
         self.kv_quant = a.kv_cache_dtype == "int8"
         self.moe_expert_sharded = (
             a.n_experts > 0 and tp > 1 and a.n_experts % tp == 0
@@ -188,9 +198,17 @@ class MLADecoderModel:
             L, E, Fm = self.n_moe, a.n_experts, a.moe_intermediate_size
             moe = self._attn_shapes(L)
             moe["router"] = (L, D, E)
-            moe["moe_gate"] = (L, E, D, Fm)
-            moe["moe_up"] = (L, E, D, Fm)
-            moe["moe_down"] = (L, E, Fm, D)
+            if self.moe_quant:
+                moe["moe_gate"] = {"qweight": (L, E, D, Fm),
+                                   "scales": (L, E, Fm)}
+                moe["moe_up"] = {"qweight": (L, E, D, Fm),
+                                 "scales": (L, E, Fm)}
+                moe["moe_down"] = {"qweight": (L, E, Fm, D),
+                                   "scales": (L, E, D)}
+            else:
+                moe["moe_gate"] = (L, E, D, Fm)
+                moe["moe_up"] = (L, E, D, Fm)
+                moe["moe_down"] = (L, E, Fm, D)
             Fs = Fm * a.n_shared_experts
             if Fs:
                 moe["shared_gate_proj"] = (L, D, Fs)
@@ -240,7 +258,18 @@ class MLADecoderModel:
         if self.n_moe:
             moe = self._attn_specs(tp)
             moe["router"] = P(None, None, None)
-            if self.moe_expert_sharded:
+            if self.moe_quant:
+                # Quantized experts shard over the expert dim only (EP when
+                # tp divides E; replicated otherwise — the routed-only
+                # decode kernel reads k/E of the bytes either way).
+                ep = tp if self.moe_expert_sharded else None
+                qspec = lambda *tail: {  # noqa: E731
+                    "qweight": P(None, ep, *tail), "scales": P(None, ep, None)
+                }
+                moe["moe_gate"] = qspec(None, None)
+                moe["moe_up"] = qspec(None, None)
+                moe["moe_down"] = qspec(None, None)
+            elif self.moe_expert_sharded:
                 moe["moe_gate"] = P(None, tp, None, None)
                 moe["moe_up"] = P(None, tp, None, None)
                 moe["moe_down"] = P(None, tp, None, None)
@@ -272,6 +301,10 @@ class MLADecoderModel:
 
         def init_leaf(path, shape, key):
             name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+            if name == "qweight":  # quantized MoE experts (moe_quant)
+                return jax.random.randint(key, shape, -127, 128, jnp.int8)
+            if name == "scales":
+                return jnp.full(shape, 0.01, jnp.float32)
             if name.endswith("norm"):
                 return jnp.ones(shape, dtype)
             return (
@@ -423,12 +456,15 @@ class MLADecoderModel:
             topk_w = topk_w * a.routed_scaling_factor
         return topk_w, topk_e
 
-    def _moe_ffn(self, lp, x):
+    def _moe_ffn(self, lp, x, expert_stream=None, li=None):
         a = self.args
         topk_w, topk_e = self._router(x, lp["router"])
         T = x.shape[0]
         k = a.n_experts_per_token
-        E_local = lp["moe_gate"].shape[0]
+        if expert_stream is not None:
+            E_local = expert_stream["moe_gate"]["qweight"].shape[1]
+        else:
+            E_local = lp["moe_gate"].shape[0]
         flat_e = topk_e.reshape(-1)
         flat_w = topk_w.reshape(-1)
         from scalellm_tpu.layers.moe import _grouped_matmul, _on_tpu
@@ -455,10 +491,23 @@ class MLADecoderModel:
         xs = x[token_of]
         group_sizes = jnp.bincount(flat_e, length=E_local).astype(jnp.int32)
 
-        g = _grouped_matmul(xs, lp["moe_gate"], group_sizes)
-        u = _grouped_matmul(xs, lp["moe_up"], group_sizes)
-        hidden = (jax.nn.silu(g) * u).astype(x.dtype)
-        y = _grouped_matmul(hidden, lp["moe_down"], group_sizes)
+        if expert_stream is not None:
+            from scalellm_tpu.ops.moe_quant import grouped_quant_matmul
+
+            def gm(rows, name):
+                return grouped_quant_matmul(
+                    rows, expert_stream[name], group_sizes, layer=li
+                )
+
+            g = gm(xs, "moe_gate")
+            u = gm(xs, "moe_up")
+            hidden = (jax.nn.silu(g) * u).astype(x.dtype)
+            y = gm(hidden, "moe_down")
+        else:
+            g = _grouped_matmul(xs, lp["moe_gate"], group_sizes)
+            u = _grouped_matmul(xs, lp["moe_up"], group_sizes)
+            hidden = (jax.nn.silu(g) * u).astype(x.dtype)
+            y = _grouped_matmul(hidden, lp["moe_down"], group_sizes)
         w_sorted = flat_w[order]
         covered = jnp.sum(group_sizes)
         row_idx = jnp.arange(y.shape[0])
@@ -500,12 +549,26 @@ class MLADecoderModel:
                 m = lax.psum(m, tp_axis)
             return h + m.astype(h.dtype), kvc
 
+        # Quantized experts do NOT ride the scan xs (slicing the stacked
+        # [L, E, K, N] arrays would copy every expert's bytes per layer —
+        # same rationale as common.py's quant_stream); they pass whole via
+        # closure and the kernel streams layer li's ROUTED experts only.
+        moe_params = params.get("moe_layers")
+        expert_stream = None
+        if self.n_moe and self.moe_quant:
+            expert_stream = {
+                k: moe_params[k] for k in ("moe_gate", "moe_up", "moe_down")
+            }
+            moe_params = {
+                k: v for k, v in moe_params.items() if k not in expert_stream
+            }
+
         def moe_layer(carry, xs):
             h = carry
-            lp, kvc = xs
+            lp, kvc, li = xs
             h, kvc = self._attention(lp, h, mi, cos, sin, kvc, decode_only)
             x = rms_norm(h, lp["post_norm"], a.rms_norm_eps)
-            m = self._moe_ffn(lp, x)
+            m = self._moe_ffn(lp, x, expert_stream, li)
             if tp_axis is not None:
                 m = lax.psum(m, tp_axis)
             return h + m.astype(h.dtype), kvc
@@ -519,7 +582,9 @@ class MLADecoderModel:
             kv_out.append(kv_dense)
         if self.n_moe:
             h, kv_moe = lax.scan(
-                moe_layer, h, (params["moe_layers"], kv_cache[nd:])
+                moe_layer, h,
+                (moe_params, kv_cache[nd:],
+                 jnp.arange(self.n_moe, dtype=jnp.int32)),
             )
             kv_out.append(kv_moe)
         new_kv = jnp.concatenate(kv_out, axis=0) if len(kv_out) > 1 else kv_out[0]

@@ -49,6 +49,8 @@ cannot fuse through the bit-unpacking, hence Pallas.
 from __future__ import annotations
 
 import functools
+import os
+import sys
 from typing import Optional
 
 import jax
@@ -130,7 +132,10 @@ def quantize_int8(
     return q.reshape(K, N), scales, zeros
 
 
-DEFAULT_TILE_N = 2048
+# Swept on v5e (Llama-8B INT4 b=1 in-model): W=1024 beats 512 (+2.6%) and
+# 2048 (+0.8%) — fewer grid cells than 512 at half the VMEM of 2048; 768
+# (non-pow2) loses 7%. See BENCH sweeps round 4.
+DEFAULT_TILE_N = 1024
 
 
 def scales_np_dtype():
@@ -228,6 +233,27 @@ def _unpack_tile(qw_ref, bits):
 def _aux_tile(ref):
     t = ref[:]
     return t.reshape(t.shape[-2:]) if t.ndim > 2 else t
+
+
+def _fused_rms(x_ref, g_ref, xn_ref, eps: float):
+    """RMSNorm prologue: xn = x * rsqrt(mean(x^2)+eps) * gamma. Bitwise
+    identical to layers/norms.rms_norm followed by the bf16 cast the
+    kernel input would get — the norm just moves inside the pallas_call
+    (one fewer XLA launch + HBM round trip per projection)."""
+    xf = x_ref[:].astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=1, keepdims=True)
+    xn_ref[:] = (
+        xf * jax.lax.rsqrt(var + eps) * g_ref[:].astype(jnp.float32)
+    ).astype(xn_ref.dtype)
+
+
+def _rms_wrap(x_ref, qw_ref, sc_ref, *rest, body, eps: float):
+    """Plain-path wrapper: normalize x into the xn scratch, then run the
+    compute body against it. Requires n_k == 1 (the mean needs full K)."""
+    g_ref, o_ref, acc_ref, xn_ref = rest[-4], rest[-3], rest[-2], rest[-1]
+    zp = rest[:-4]
+    _fused_rms(x_ref, g_ref, xn_ref, eps)
+    body(xn_ref, qw_ref, sc_ref, *zp, o_ref, acc_ref)
 
 
 def _group_kernel(x_ref, qw_ref, sc_ref, *rest, n_k: int, bits: int, symmetric: bool):
@@ -568,7 +594,10 @@ def _pick_blocks(M: int, K: int, N: int, bits: int) -> tuple[int, int, str]:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("bits", "block_n", "block_k", "backend", "symmetric", "variant"),
+    static_argnames=(
+        "bits", "block_n", "block_k", "backend", "symmetric", "variant",
+        "rms_eps",
+    ),
 )
 def quant_matmul(
     x: jnp.ndarray,  # [M, K] bf16/f32
@@ -582,6 +611,8 @@ def quant_matmul(
     symmetric: bool = False,
     variant: str = "",
     layer: Optional[jnp.ndarray] = None,
+    rms_gamma: Optional[jnp.ndarray] = None,  # [K]: fused RMSNorm prologue
+    rms_eps: float = 1e-6,
 ) -> jnp.ndarray:
     """x @ dequant(qweight) with fused dequantization.
 
@@ -600,6 +631,14 @@ def quant_matmul(
     """
     backend = backend or _default_backend()
     M, K = x.shape
+
+    def _apply_rms_xla(x):
+        xf = x.astype(jnp.float32)
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        return (
+            xf * jax.lax.rsqrt(var + rms_eps) * rms_gamma.astype(jnp.float32)
+        ).astype(x.dtype)
+
     stacked = qweight.ndim == 4
     tiled = qweight.ndim == 3 or stacked
     if stacked:
@@ -609,6 +648,8 @@ def quant_matmul(
         N = qweight.shape[0] * qweight.shape[2] if tiled else qweight.shape[-1]
     symmetric = symmetric or zeros is None
     if backend != "tpu":
+        if rms_gamma is not None:
+            x = _apply_rms_xla(x)
         if stacked:
             qweight = qweight[layer]
             scales = scales[layer]
@@ -659,6 +700,11 @@ def quant_matmul(
         # bytes double but tiles stay capped (correct > marginally fast).
         scales = scales.astype(jnp.float32)
         chunk = 8 * G
+    if rms_gamma is not None and M <= 64 and K <= max_bk and K % chunk == 0:
+        # The fused-norm prologue needs the in-kernel mean over FULL K, so
+        # decode-sized fused calls take a single k-tile (K=4096 at W=1024
+        # is a 2MB weight tile — inside the VMEM cap).
+        block_k = K
     block_k = _shrink_block_k(min(block_k, max_bk), K, chunk)
     if block_k > max_bk and not tiled:
         # _shrink_block_k's K-not-chunk-aligned fallback returns full K
@@ -716,6 +762,17 @@ def quant_matmul(
         "w4a8": _w4a8_kernel,
         "w4a8g": _w4a8_gemv_kernel,
     }[variant]
+
+    # Fused RMSNorm prologue: viable when one k-tile spans all of K (the
+    # in-kernel mean needs full K) and one m-tile (scratch persistence);
+    # otherwise fall back to the identical XLA-side norm.
+    fuse_rms = rms_gamma is not None and n_k == 1 and n_m == 1
+    if os.environ.get("QUANT_DEBUG"):
+        print(f"quant_matmul M={M} K={K} N={N} variant={variant} "
+              f"bk={block_k} bn={block_n} fuse_rms={fuse_rms}",
+              file=sys.stderr)
+    if rms_gamma is not None and not fuse_rms:
+        x = _apply_rms_xla(x)
 
     # w4a8 quantizes activations in-kernel (per k-block); all variants take
     # bf16 activations.
@@ -778,6 +835,15 @@ def quant_matmul(
         in_specs.append(aux_spec)
         operands.append(zeros)
         bytes_w += zeros.size // n_stack
+    if fuse_rms:
+        g2 = jnp.asarray(rms_gamma).reshape(1, K)
+        g_spec = pl.BlockSpec(
+            (1, block_k),
+            (lambda m, n, k, lr: (0, k)) if stacked else (lambda m, n, k: (0, k)),
+            memory_space=pltpu.VMEM,
+        )
+        in_specs.append(g_spec)
+        operands.append(g2)
 
     body = functools.partial(kernel, n_k=n_k, bits=bits, symmetric=symmetric)
     kwargs = dict(
@@ -800,7 +866,7 @@ def quant_matmul(
     scratch = [pltpu.VMEM((block_m, block_n), jnp.float32)]
     if stacked:
         g_rows = block_k // G
-        depth = _env_int("QUANT_STREAM_DEPTH", 2)
+        depth = _env_int("QUANT_STREAM_DEPTH", 3)
         stream = functools.partial(
             _stream_kernel,
             body=body,
@@ -811,6 +877,8 @@ def quant_matmul(
             g_rows=g_rows,
             symmetric=symmetric,
             depth=depth,
+            fuse_rms=fuse_rms,
+            eps=rms_eps,
         )
         scratch = [
             pltpu.VMEM((block_m, block_n), jnp.float32),  # acc
@@ -824,6 +892,8 @@ def quant_matmul(
                 pltpu.VMEM((depth, g_rows, block_n), jnp.int8),
                 pltpu.SemaphoreType.DMA((depth,)),
             ]
+        if fuse_rms:
+            scratch.append(pltpu.VMEM((block_m, block_k), x_op.dtype))
         out = pl.pallas_call(
             stream,
             grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -836,6 +906,11 @@ def quant_matmul(
             **kwargs,
         )(jnp.asarray(layer, jnp.int32).reshape(1), *operands)
     else:
+        if fuse_rms:
+            body = functools.partial(
+                _rms_wrap, body=body, eps=rms_eps
+            )
+            scratch.append(pltpu.VMEM((block_m, block_k), x_op.dtype))
         out = pl.pallas_call(
             body,
             grid=(n_m, n_n, n_k),
@@ -861,6 +936,8 @@ def _stream_kernel(
     g_rows: int,
     symmetric: bool,
     depth: int = 2,
+    fuse_rms: bool = False,
+    eps: float = 0.0,
 ):
     """Layer-stacked streaming wrapper around the compute bodies.
 
@@ -871,10 +948,19 @@ def _stream_kernel(
     decode_attention.py uses for KV pages. BlockSpec index_maps that read
     the layer scalar do not pipeline (Mosaic serializes them), hence
     manual copies."""
+    g_ref = xn_ref = None
+    if fuse_rms:
+        *rest, xn_ref = rest
     if symmetric:
         zp_hbm = None
-        o_ref, acc_ref, qw_buf, sc_buf, sem_q, sem_s = rest
+        if fuse_rms:
+            g_ref, o_ref, acc_ref, qw_buf, sc_buf, sem_q, sem_s = rest
+        else:
+            o_ref, acc_ref, qw_buf, sc_buf, sem_q, sem_s = rest
         zp_buf = sem_z = None
+    elif fuse_rms:
+        (zp_hbm, g_ref, o_ref, acc_ref, qw_buf, sc_buf, sem_q, sem_s,
+         zp_buf, sem_z) = rest
     else:
         (zp_hbm, o_ref, acc_ref, qw_buf, sc_buf, sem_q, sem_s,
          zp_buf, sem_z) = rest
@@ -931,10 +1017,19 @@ def _stream_kernel(
         for c in copies(nxt, jax.lax.rem(nxt, depth)):
             c.start()
 
+    if fuse_rms:
+        # Norm once per call (x is the same block for every grid cell:
+        # n_m == 1 and n_k == 1 are fusion preconditions) — the sequential
+        # grid and persistent scratch make the lin==0 result visible to
+        # all later cells.
+        @pl.when(lin == 0)
+        def _():
+            _fused_rms(x_ref, g_ref, xn_ref, eps)
+
     for c in copies(lin, slot):
         c.wait()
 
-    args = [x_ref, qw_buf.at[slot], sc_buf.at[slot]]
+    args = [xn_ref if fuse_rms else x_ref, qw_buf.at[slot], sc_buf.at[slot]]
     if not symmetric:
         args.append(zp_buf.at[slot])
     body(*args, o_ref, acc_ref)

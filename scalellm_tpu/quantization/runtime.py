@@ -43,7 +43,20 @@ def quantize_model_params(
         for name, spec in qnode.items():
             if isinstance(spec, dict) and "qweight" in spec:
                 dense = np.asarray(dnode[name], dtype=np.float32)
-                if dense.ndim == 3:  # [L, K, N] stacked layers
+                if "zeros" not in spec:
+                    # MoE expert triple {"qweight","scales"}: int8
+                    # per-(expert, out-channel) symmetric, layer-stacked
+                    # [L, E, K, N] (ops/moe_quant.py).
+                    from scalellm_tpu.ops.moe_quant import (
+                        quantize_experts_int8,
+                    )
+
+                    qw, sc = zip(*(quantize_experts_int8(dense[l])
+                                   for l in range(dense.shape[0])))
+                    out[name] = {
+                        "qweight": np.stack(qw), "scales": np.stack(sc),
+                    }
+                elif dense.ndim == 3:  # [L, K, N] stacked layers
                     # group size from the DECLARED scales shape ((L, n_n,
                     # K/G, W) tiled) — cannot diverge from param_shapes().
                     g = dense.shape[1] // spec["scales"][-2]
@@ -71,6 +84,9 @@ def quantize_model_params(
         return out
 
     qparams = convert(qshapes, dense_params)
-    # Flat quantized triples → the N-tiled storage layout of param_shapes().
-    qmodel.tile_quant_params(qparams)
+    # Flat quantized triples → the N-tiled storage layout of param_shapes()
+    # (models without group-quant projections — e.g. deepseek, which
+    # quantizes only its MoE experts — have no tiled layout to apply).
+    if hasattr(qmodel, "tile_quant_params"):
+        qmodel.tile_quant_params(qparams)
     return qmodel, qparams

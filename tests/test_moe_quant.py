@@ -1,0 +1,154 @@
+"""Quantized MoE experts (ops/moe_quant.py): int8 per-(expert, channel)
+weights, routed-only decode kernel, runtime conversion, and end-to-end
+deepseek parity (the reference has no quantized-MoE path at all)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from scalellm_tpu.ops.moe_quant import (
+    _decode_grouped_quant_matmul,
+    _ref_grouped_quant_matmul,
+    grouped_quant_matmul,
+    quantize_experts_int8,
+)
+
+
+def _mk(E=8, K=256, N=384, Tp=128, seed=0):
+    rng = np.random.default_rng(seed)
+    w = rng.standard_normal((E, K, N)).astype(np.float32) * 0.05
+    qw, sc = quantize_experts_int8(w)
+    xs = rng.standard_normal((Tp, K)).astype(np.float32)
+    gs = np.zeros(E, np.int32)
+    gs[1], gs[3], gs[6] = 40, 60, 10
+    return w, qw, sc, xs, gs
+
+
+def test_quantize_experts_roundtrip():
+    w, qw, sc, *_ = _mk()
+    deq = qw.astype(np.float32) * sc[:, None, :]
+    rel = np.abs(deq - w).max() / np.abs(w).max()
+    assert rel < 0.01  # int8 per-channel: <1% worst-case element error
+
+
+def test_decode_kernel_matches_ref_interpret():
+    w, qw, sc, xs, gs = _mk()
+    ref = np.asarray(_ref_grouped_quant_matmul(
+        jnp.asarray(xs), jnp.asarray(qw), jnp.asarray(sc), jnp.asarray(gs)))
+    out = np.asarray(_decode_grouped_quant_matmul(
+        jnp.asarray(xs), jnp.asarray(qw), jnp.asarray(sc), jnp.asarray(gs),
+        interpret=True))
+    covered = int(gs.sum())
+    np.testing.assert_allclose(out[:covered], ref[:covered],
+                               rtol=2e-2, atol=1e-2)
+    assert np.abs(out[covered:]).max() == 0  # uncovered rows zeroed
+
+
+def test_decode_kernel_layer_stacked_interpret():
+    w, qw, sc, xs, gs = _mk()
+    L = 3
+    qw_l = np.stack([np.roll(qw, l, axis=0) for l in range(L)])
+    sc_l = np.stack([np.roll(sc, l, axis=0) for l in range(L)])
+    for layer in (0, 2):
+        ref = np.asarray(_ref_grouped_quant_matmul(
+            jnp.asarray(xs), jnp.asarray(qw_l[layer]),
+            jnp.asarray(sc_l[layer]), jnp.asarray(gs)))
+        out = np.asarray(_decode_grouped_quant_matmul(
+            jnp.asarray(xs), jnp.asarray(qw_l), jnp.asarray(sc_l),
+            jnp.asarray(gs), layer=jnp.asarray(layer), interpret=True))
+        covered = int(gs.sum())
+        np.testing.assert_allclose(out[:covered], ref[:covered],
+                                   rtol=2e-2, atol=1e-2)
+
+
+def _tiny_deepseek_args(quant: bool):
+    from scalellm_tpu.config import QuantArgs
+    from scalellm_tpu.models.deepseek import load_deepseek_v2_model_args
+
+    args = load_deepseek_v2_model_args(dict(
+        torch_dtype="float32",
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=3,
+        num_attention_heads=4,
+        vocab_size=256,
+        max_position_embeddings=256,
+        q_lora_rank=None,
+        kv_lora_rank=32,
+        qk_nope_head_dim=16,
+        qk_rope_head_dim=8,
+        v_head_dim=16,
+        first_k_dense_replace=1,
+        n_routed_experts=8,
+        num_experts_per_tok=2,
+        moe_intermediate_size=32,
+        n_shared_experts=1,
+        norm_topk_prob=False,
+    ))
+    if quant:
+        args.quant_args = QuantArgs(quant_method="internal", bits=8,
+                                    group_size=128)
+    return args
+
+
+def test_deepseek_quantized_experts_parity():
+    """Quantized-expert deepseek must track the dense model's logits: same
+    dense weights, experts runtime-quantized via quantize_model_params."""
+    from scalellm_tpu.config import QuantArgs
+    from scalellm_tpu.engine.params import ModelInputs
+    from scalellm_tpu.models.deepseek import MLADecoderModel
+    from scalellm_tpu.parallel.config import ParallelConfig
+    from scalellm_tpu.quantization.runtime import quantize_model_params
+
+    dense = MLADecoderModel(_tiny_deepseek_args(False), ParallelConfig())
+    params = dense.init_params(jax.random.PRNGKey(0))
+    qmodel, qparams = quantize_model_params(
+        dense, jax.tree_util.tree_map(np.asarray, params),
+        QuantArgs(quant_method="internal", bits=8, group_size=128),
+    )
+    assert qmodel.moe_quant
+    assert qparams["moe_layers"]["moe_gate"]["qweight"].dtype == np.int8
+
+    T, page = 4, 4
+    kv = jnp.zeros(dense.kv_cache_shape(8, page), jnp.float32)
+    mi = ModelInputs(
+        token_ids=jnp.asarray([3, 17, 42, 9], jnp.int32),
+        positions=jnp.arange(T, dtype=jnp.int32),
+        token_seg=jnp.zeros(T, jnp.int32),
+        new_kv_slot_ids=jnp.arange(T, dtype=jnp.int32) + page,
+        block_tables=jnp.asarray([[1, 2, 0, 0]], jnp.int32),
+        kv_lens=jnp.asarray([T], jnp.int32),
+        cu_q_lens=jnp.asarray([0, T], jnp.int32),
+        num_seqs=jnp.asarray([1], jnp.int32),
+        selected_idxes=jnp.asarray([T - 1], jnp.int32),
+        seq_mask=jnp.ones(1, jnp.float32),
+    )
+    h_d, _ = dense.forward(params, kv, mi)
+    l_d = dense.logits(params, h_d)
+    qparams = jax.tree_util.tree_map(jnp.asarray, qparams)
+    h_q, _ = qmodel.forward(qparams, kv, mi)
+    l_q = qmodel.logits(qparams, h_q)
+    # int8 experts: logits track the dense model closely
+    err = float(jnp.abs(l_q - l_d).max() / (jnp.abs(l_d).max() + 1e-9))
+    assert err < 0.05, err
+    # and greedy argmax agrees
+    assert jnp.argmax(l_q, -1).tolist() == jnp.argmax(l_d, -1).tolist()
+
+
+def test_grouped_quant_matmul_prefill_path_cpu():
+    """The >256-row (gmm) path is TPU-only; on CPU it must still route to
+    the reference implementation and agree with it."""
+    w, qw, sc, _, _ = _mk(Tp=8)
+    rng = np.random.default_rng(1)
+    Tp = 384
+    xs = rng.standard_normal((Tp, 256)).astype(np.float32)
+    gs = np.zeros(8, np.int32)
+    gs[0], gs[2] = 200, 184
+    out = grouped_quant_matmul(
+        jnp.asarray(xs), {"qweight": jnp.asarray(qw), "scales": jnp.asarray(sc)},
+        jnp.asarray(gs))
+    ref = _ref_grouped_quant_matmul(
+        jnp.asarray(xs), jnp.asarray(qw), jnp.asarray(sc), jnp.asarray(gs))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
