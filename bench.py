@@ -79,14 +79,13 @@ def build_model(preset: str):
             max_position_embeddings=2048,
         )
     elif preset == "deepseek-v2-lite":
-        # DeepSeek-V2-Lite (MLA + MoE) with runtime-int8 ROUTED EXPERTS
-        # (ops/moe_quant.py): experts are ~97% of the weights (28.8 GB of
-        # the 29.3 GB bf16 model), so int8 experts halve them to 14.4 GB
-        # and the decode path streams only the ROUTED experts' blocks.
-        # 21 of 27 layers fit the 16 GB chip at int8 (int4 experts would
-        # fit full depth — future work); per-token step time scales
-        # linearly in layers. Exercises the K-only latent cache + the
-        # Pallas MLA decode kernel + the routed-expert quant kernel.
+        # DeepSeek-V2-Lite at FULL depth (27 layers), MLA + MoE with
+        # runtime-int4 ROUTED EXPERTS (ops/moe_quant.py, group-128 grids):
+        # experts are ~97% of the weights (28.8 GB of the 29.3 GB bf16
+        # model), int4 quarters them to 7.2 GB so the whole model fits a
+        # 16 GB v5e, and the decode path streams only the ROUTED experts'
+        # packed blocks. Exercises the K-only latent cache + the Pallas
+        # MLA decode kernel + the routed-expert quant kernel.
         from scalellm_tpu.models.deepseek import (
             MLADecoderModel, load_deepseek_v2_model_args,
         )
@@ -95,7 +94,7 @@ def build_model(preset: str):
             torch_dtype="bfloat16",
             hidden_size=2048,
             intermediate_size=10944,
-            num_hidden_layers=layers_override or 21,
+            num_hidden_layers=layers_override or 27,
             num_attention_heads=16,
             vocab_size=102400,
             max_position_embeddings=4096,
@@ -113,7 +112,7 @@ def build_model(preset: str):
         ))
         from scalellm_tpu.config import QuantArgs
 
-        args.quant_args = QuantArgs(quant_method="internal", bits=8,
+        args.quant_args = QuantArgs(quant_method="internal", bits=4,
                                     group_size=128)
         return MLADecoderModel(args, ParallelConfig())
     elif preset == "tiny":  # CPU smoke test

@@ -54,7 +54,9 @@ def _grouped_matmul(xs: jnp.ndarray, w, group_sizes: jnp.ndarray):
     if isinstance(w, dict):
         from scalellm_tpu.ops.moe_quant import grouped_quant_matmul
 
-        return grouped_quant_matmul(xs, w, group_sizes)
+        return grouped_quant_matmul(
+            xs, w, group_sizes, layer=w.get("__layer__")
+        )
     if _on_tpu():
         from jax.experimental.pallas.ops.tpu.megablox import gmm
 
@@ -240,7 +242,11 @@ def moe_mlp(
     """
     T, D = x.shape
     E = router_w.shape[-1]
-    E_local = gate_w.shape[0]
+    if isinstance(gate_w, dict):  # quantized experts (ops/moe_quant.py)
+        qshape = gate_w["qweight"].shape
+        E_local = qshape[1] if len(qshape) == 4 else qshape[0]
+    else:
+        E_local = gate_w.shape[0]
 
     logits = jnp.dot(x.astype(jnp.float32), router_w.astype(jnp.float32))
     probs = jax.nn.softmax(logits, axis=-1)  # [T, E]

@@ -142,9 +142,37 @@ class DecoderModel:
         if a.n_experts > 0:
             E, Fm = a.n_experts, a.moe_intermediate_size
             layers["router"] = (L, D, E)
-            layers["moe_gate"] = (L, E, D, Fm)
-            layers["moe_up"] = (L, E, D, Fm)
-            layers["moe_down"] = (L, E, Fm, D)
+            G = (self.quant.group_size or 128) if self.quant else 0
+            if (
+                self.quant is not None
+                and self.quant.quant_method == "internal"
+                and self.quant.bits == 4
+                and D % G == 0 and Fm % G == 0
+            ):
+                # Runtime int4-g128 experts (ops/moe_quant.py): packed
+                # nibbles + per-(expert, k-group, channel) grids; the
+                # decode path streams only the ROUTED experts' blocks.
+                layers["moe_gate"] = {"qweight": (L, E, D // 2, Fm),
+                                      "scales": (L, E, D // G, Fm)}
+                layers["moe_up"] = {"qweight": (L, E, D // 2, Fm),
+                                    "scales": (L, E, D // G, Fm)}
+                layers["moe_down"] = {"qweight": (L, E, Fm // 2, D),
+                                      "scales": (L, E, Fm // G, D)}
+            elif (
+                self.quant is not None
+                and self.quant.quant_method == "internal"
+            ):
+                # Runtime int8 experts: per-(expert, out-channel) scales.
+                layers["moe_gate"] = {"qweight": (L, E, D, Fm),
+                                      "scales": (L, E, Fm)}
+                layers["moe_up"] = {"qweight": (L, E, D, Fm),
+                                    "scales": (L, E, Fm)}
+                layers["moe_down"] = {"qweight": (L, E, Fm, D),
+                                      "scales": (L, E, D)}
+            else:
+                layers["moe_gate"] = (L, E, D, Fm)
+                layers["moe_up"] = (L, E, D, Fm)
+                layers["moe_down"] = (L, E, Fm, D)
             if a.moe_shared_intermediate > 0:
                 Fs = a.moe_shared_intermediate
                 layers["up_proj"] = proj(D, Fs)
@@ -307,7 +335,11 @@ class DecoderModel:
                 "q_proj", "k_proj", "v_proj", "gate_proj",
             }
             for name, node in list(layers.items()):
-                if isinstance(node, dict) and "qweight" in node:
+                if (
+                    isinstance(node, dict)
+                    and "qweight" in node
+                    and "zeros" in node  # expert pairs keep [L,E,K,N] layout
+                ):
                     layers[name] = self._tiled_shape(node, name in col_parallel)
         if self._lm_head_quant() and "lm_head" in shapes:
             shapes["lm_head"] = self._tiled_shape(
@@ -491,7 +523,26 @@ class DecoderModel:
 
         if a.n_experts > 0:
             layers["router"] = P(None, None, None)
-            if self.moe_expert_sharded:
+            moe_quant = (
+                self.quant is not None
+                and self.quant.quant_method == "internal"
+            )
+            if moe_quant:
+                # Quantized experts shard over the expert dim only (EP
+                # when tp divides E; replicated otherwise — the
+                # routed-only decode kernel reads k/E of the bytes).
+                ep = tp if self.moe_expert_sharded else None
+                sc_tail = (
+                    (None, None) if self.quant.bits == 4 else (None,)
+                )
+                qspec = {
+                    "qweight": P(None, ep, None, None),
+                    "scales": P(None, ep, *sc_tail),
+                }
+                layers["moe_gate"] = dict(qspec)
+                layers["moe_up"] = dict(qspec)
+                layers["moe_down"] = dict(qspec)
+            elif self.moe_expert_sharded:
                 # expert-parallel: experts sharded, FFN dims full
                 layers["moe_gate"] = P(None, tp, None, None)
                 layers["moe_up"] = P(None, tp, None, None)
@@ -1126,6 +1177,7 @@ class DecoderModel:
                 ):
                     quant_stream[name] = {
                         k2: v[k2] for k2 in ("qweight", "scales", "zeros")
+                        if k2 in v  # expert pairs carry no zeros
                     }
                     layers_xs[name] = {
                         k2: v2

@@ -141,6 +141,12 @@ class MLADecoderModel:
         self.moe_quant = bool(
             a.n_experts > 0 and a.quant_args and a.quant_args.enabled
         )
+        # int4: packed nibbles + per-(expert, k-group, channel) grids
+        # (group 128); int8: per-(expert, channel). V2-Lite experts:
+        # 28.8 GB bf16 → 14.4 int8 → 7.2 int4 (full depth fits one v5e).
+        self.moe_quant_bits = (
+            a.quant_args.bits if self.moe_quant and a.quant_args.bits else 8
+        )
         self.kv_quant = a.kv_cache_dtype == "int8"
         self.moe_expert_sharded = (
             a.n_experts > 0 and tp > 1 and a.n_experts % tp == 0
@@ -198,7 +204,16 @@ class MLADecoderModel:
             L, E, Fm = self.n_moe, a.n_experts, a.moe_intermediate_size
             moe = self._attn_shapes(L)
             moe["router"] = (L, D, E)
-            if self.moe_quant:
+            if self.moe_quant and self.moe_quant_bits == 4:
+                G = a.quant_args.group_size or 128
+                assert D % G == 0 and Fm % G == 0, (D, Fm, G)
+                moe["moe_gate"] = {"qweight": (L, E, D // 2, Fm),
+                                   "scales": (L, E, D // G, Fm)}
+                moe["moe_up"] = {"qweight": (L, E, D // 2, Fm),
+                                 "scales": (L, E, D // G, Fm)}
+                moe["moe_down"] = {"qweight": (L, E, Fm // 2, D),
+                                   "scales": (L, E, Fm // G, D)}
+            elif self.moe_quant:
                 moe["moe_gate"] = {"qweight": (L, E, D, Fm),
                                    "scales": (L, E, Fm)}
                 moe["moe_up"] = {"qweight": (L, E, D, Fm),
@@ -263,12 +278,14 @@ class MLADecoderModel:
                 # tp divides E; replicated otherwise — the routed-only
                 # decode kernel reads k/E of the bytes either way).
                 ep = tp if self.moe_expert_sharded else None
-                qspec = lambda *tail: {  # noqa: E731
-                    "qweight": P(None, ep, *tail), "scales": P(None, ep, None)
+                sc_tail = (None, None) if self.moe_quant_bits == 4 else (None,)
+                qspec = {
+                    "qweight": P(None, ep, None, None),
+                    "scales": P(None, ep, *sc_tail),
                 }
-                moe["moe_gate"] = qspec(None, None)
-                moe["moe_up"] = qspec(None, None)
-                moe["moe_down"] = qspec(None, None)
+                moe["moe_gate"] = dict(qspec)
+                moe["moe_up"] = dict(qspec)
+                moe["moe_down"] = dict(qspec)
             elif self.moe_expert_sharded:
                 moe["moe_gate"] = P(None, tp, None, None)
                 moe["moe_up"] = P(None, tp, None, None)

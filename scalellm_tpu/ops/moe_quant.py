@@ -1,10 +1,13 @@
-"""Quantized MoE expert matmuls (int8 weights, per-expert per-channel scales).
+"""Quantized MoE expert matmuls: int8 (per-expert per-channel scales) and
+int4 (packed nibbles, per-(expert, k-group, channel) grids — the standard
+int4-g128 recipe).
 
 The reference has no quantized-MoE path at all (its MoE stack is bf16 and
 its deepseek model is a TODO, src/models/deepseek/README.md); real
 DeepSeek-V2-class checkpoints are served quantized in practice, and on a
-16 GB v5e chip int8 experts are the difference between fitting the model
-and not (V2-Lite experts: ~14 GB bf16 → ~7 GB int8).
+16 GB v5e chip quantized experts are the difference between fitting the
+model and not (V2-Lite experts: 28.8 GB bf16 → 14.4 int8 → 7.2 int4,
+which fits the FULL 27-layer model on one chip).
 
 Two TPU paths, split by batch size:
 
@@ -18,9 +21,12 @@ Two TPU paths, split by batch size:
   repeat(arange(E), group_sizes)). The cast materializes one matrix
   transiently; prefill is compute-bound so the extra HBM pass is noise.
 
-Storage: qweight int8 [E, K, N] with symmetric per-(expert, out-channel)
-scales [E, N] (f32). Out-channel scales distribute out of the contraction,
-so the kernel's dot runs on raw int8 and scales apply post-dot.
+Storage: int8 = qweight [E, K, N] + scales [E, N] (per-channel; scales
+distribute out of the contraction so the dot runs on raw int8).
+int4 = qweight packed [E, K//2, N] (quant_matmul.pack_int4 nibble order:
+the in-kernel unpack is a free bitcast + hardware int4→bf16 convert) +
+scales [E, K/G, N], applied post-dot per k-group. Layer-stacked [L, ...]
+variants stream at a dynamic layer offset (no scan-slice copies).
 """
 
 from __future__ import annotations
@@ -45,9 +51,53 @@ def quantize_experts_int8(w: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return q, scales
 
 
+def quantize_experts_int4(
+    w: np.ndarray, group_size: int = 128
+) -> Tuple[np.ndarray, np.ndarray]:
+    """[E, K, N] float → (packed int8 [E, K//2, N], scales [E, K/G, N])
+    symmetric per-(expert, k-group, out-channel) — the standard int4-g128
+    grid. Nibble layout matches ops/quant_matmul.pack_int4 (little-endian
+    int4 element order: the in-kernel unpack is a free bitcast+convert).
+    Scales are grid-roundtripped through scales_np_dtype() (see
+    quant_matmul.quantize_int4) so storage is lossless by construction."""
+    from scalellm_tpu.ops.quant_matmul import pack_int4, scales_np_dtype
+
+    w = np.asarray(w, dtype=np.float32)
+    E, K, N = w.shape
+    assert K % group_size == 0
+    g = w.reshape(E, K // group_size, group_size, N)
+    absmax = np.maximum(np.abs(g).max(axis=2), 1e-8)  # [E, K/G, N]
+    scales = np.maximum((absmax / 7.0).astype(np.float32), 1e-10)
+    scales = scales.astype(scales_np_dtype())
+    q = np.clip(
+        np.round(g / scales[:, :, None, :].astype(np.float32)), -8, 7
+    )
+    qu = (q + 8).astype(np.uint8).reshape(E, K, N)
+    packed = np.stack([pack_int4(qu[e]) for e in range(E)])
+    return packed, np.asarray(scales)
+
+
+def _dequant_int4(packed, scales, group_size: int = 128):
+    """Dequant one expert's packed int4 [K//2, N] → f32 [K, N] (pure jnp:
+    traceable under jit — the CPU/XLA reference unpack)."""
+    u = packed.astype(jnp.uint8)
+    # Raw nibbles are two's-complement signed: value = ((r + 8) & 15) - 8.
+    lo = (((u & 15) + 8) & 15).astype(jnp.float32) - 8.0
+    hi = ((((u >> 4) & 15) + 8) & 15).astype(jnp.float32) - 8.0
+    K2, N = u.shape
+    K = K2 * 2
+    qu = jnp.stack([lo, hi], axis=1).reshape(K, N)
+    sc = scales.astype(jnp.float32)  # [K/G, N]
+    out = qu.reshape(K // group_size, group_size, N) * sc[:, None, :]
+    return out.reshape(K, N)
+
+
 def _ref_grouped_quant_matmul(xs, qw, scales, group_sizes):
-    """CPU/reference path: dequantize per expert, masked accumulation."""
+    """CPU/reference path: dequantize per expert, masked accumulation.
+    scales [E, N] = int8 per-channel; scales [E, K/G, N] = packed int4
+    with per-group grids."""
     E = qw.shape[0]
+    int4 = scales.ndim == 3
     bounds = jnp.cumsum(group_sizes)
     starts = bounds - group_sizes
     t_idx = jnp.arange(xs.shape[0])[:, None]
@@ -55,7 +105,12 @@ def _ref_grouped_quant_matmul(xs, qw, scales, group_sizes):
     xf = xs.astype(jnp.float32)
     for e in range(E):
         mask = ((t_idx >= starts[e]) & (t_idx < bounds[e])).astype(jnp.float32)
-        w_e = qw[e].astype(jnp.float32) * scales[e][None, :]
+        if int4:
+            K = qw.shape[1] * 2
+            G = K // scales.shape[1]
+            w_e = _dequant_int4(qw[e], scales[e], G)
+        else:
+            w_e = qw[e].astype(jnp.float32) * scales[e][None, :]
         out = out + mask * jnp.dot(xf, w_e, preferred_element_type=jnp.float32)
     return out
 
@@ -69,10 +124,11 @@ def _decode_kernel(
     qw_hbm,  # int8 [E, K, N] or layer-stacked [L, E, K, N] (ANY)
     sc_ref,  # f32 [E, N] (VMEM)
     o_ref,  # [Tp, N] f32
-    w_bufs,  # VMEM [2, K, N] int8
+    w_bufs,  # VMEM [2, K, N] int8 (int4: [2, K//2, N] packed)
     sems,  # DMA [2]
     *,
     stacked: bool,
+    bits: int,
 ):
     i = pl.program_id(0)
     E = pl.num_programs(0)
@@ -105,17 +161,38 @@ def _decode_kernel(
             src(e), w_bufs.at[slot], sems.at[slot]
         ).wait()
 
-        w = w_bufs[slot]  # int8 [K, N]; MXU consumes int8 in mixed dots
-        dots = jax.lax.dot_general(
-            xs_ref[:], w, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [Tp, N]
-        sc = sc_ref[pl.ds(e, 1), :]  # [1, N] dynamic expert row
+        if bits == 8:
+            w = w_bufs[slot]  # int8 [K, N]; MXU consumes int8 in mixed dots
+            dots = jax.lax.dot_general(
+                xs_ref[:], w, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [Tp, N]
+            sc = sc_ref[pl.ds(e, 1), :].astype(jnp.float32)  # [1, N]
+            dots = dots * sc
+        else:  # int4: per-(k-group, channel) grids, post-dot group scaling
+            packed = w_bufs[slot]  # int8 [K//2, N]
+            sc = sc_ref[pl.ds(e, 1), :, :].astype(jnp.float32)  # [1, n_g, N]
+            n_g = sc.shape[1]
+            rows_g = packed.shape[0] // n_g  # G//2 packed rows per group
+            G = rows_g * 2
+            dots = jnp.zeros(o_ref.shape, jnp.float32)
+            for g in range(n_g):
+                # Slice the packed tile BEFORE the int4 bitcast (Mosaic
+                # rejects reshapes/indexing on int4 vectors); the
+                # int4→bf16 convert is a free hardware cast.
+                pk = packed[g * rows_g:(g + 1) * rows_g, :]
+                wb = pltpu.bitcast(pk, jnp.int4).astype(jnp.bfloat16)
+                xg = xs_ref[:, g * G:(g + 1) * G]
+                d = jax.lax.dot_general(
+                    xg, wb, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                dots = dots + d * sc[:, g, :]
         start = starts_ref[e]
         size = sizes_ref[e]
         rows = jax.lax.broadcasted_iota(jnp.int32, o_ref.shape, 0)
         in_grp = jnp.logical_and(rows >= start, rows < start + size)
-        o_ref[:] += jnp.where(in_grp, dots * sc, 0.0)
+        o_ref[:] += jnp.where(in_grp, dots, 0.0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -124,12 +201,14 @@ def _decode_grouped_quant_matmul(xs, qw, scales, group_sizes, layer=None,
     Tp, K = xs.shape
     stacked = qw.ndim == 4
     E, Kw, N = qw.shape[-3:]
-    assert K == Kw
+    bits = 4 if Kw * 2 == K else 8
+    assert K == (Kw * 2 if bits == 4 else Kw)
     active = jnp.nonzero(group_sizes > 0, size=E, fill_value=-1)[0]
     starts = (jnp.cumsum(group_sizes) - group_sizes).astype(jnp.int32)
     if stacked:
-        scales = scales[layer]  # [E, N] — tiny slice; weights stream in place
+        scales = scales[layer]  # [E, ...] — tiny slice; weights stream in place
     lr = jnp.asarray(layer if layer is not None else 0, jnp.int32).reshape(1)
+    sc_block = scales.shape  # [E, N] (int8) / [E, n_g, N] (int4)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -137,16 +216,16 @@ def _decode_grouped_quant_matmul(xs, qw, scales, group_sizes, layer=None,
         in_specs=[
             pl.BlockSpec((Tp, K), lambda i, *_: (0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((E, N), lambda i, *_: (0, 0)),
+            pl.BlockSpec(sc_block, lambda i, *_: (0,) * len(sc_block)),
         ],
         out_specs=pl.BlockSpec((Tp, N), lambda i, *_: (0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, K, N), jnp.int8),
+            pltpu.VMEM((2, Kw, N), jnp.int8),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
-        functools.partial(_decode_kernel, stacked=stacked),
+        functools.partial(_decode_kernel, stacked=stacked, bits=bits),
         out_shape=jax.ShapeDtypeStruct((Tp, N), jnp.float32),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
@@ -155,13 +234,14 @@ def _decode_grouped_quant_matmul(xs, qw, scales, group_sizes, layer=None,
         cost_estimate=pl.CostEstimate(
             flops=2 * Tp * K * N,
             # decode expectation: ~top_k experts touched, not E
-            bytes_accessed=min(E, Tp) * K * N + Tp * K * 2 + Tp * N * 4,
+            bytes_accessed=min(E, Tp) * Kw * N + Tp * K * 2 + Tp * N * 4,
             transcendentals=0,
         ),
         interpret=interpret,
     )(
         lr, active.astype(jnp.int32), starts, group_sizes.astype(jnp.int32),
-        xs.astype(jnp.bfloat16), qw, scales.astype(jnp.float32),
+        xs.astype(jnp.bfloat16), qw,
+        scales if bits == 4 else scales.astype(jnp.float32),
     )
 
 
@@ -190,7 +270,23 @@ def grouped_quant_matmul(xs, w: dict, group_sizes, *, layer=None,
 
     if qw.ndim == 4:
         qw, scales = qw[layer], scales[layer]
-    E = qw.shape[0]
+    E, Kw, N = qw.shape
+    if scales.ndim == 3:  # int4: unpack + fold group scales, then gmm
+        K = Kw * 2
+        G = K // scales.shape[1]
+        u = qw.astype(jnp.uint8)
+        # two's-complement nibbles: value = ((r + 8) & 15) - 8
+        lo = ((((u & 15)) + 8) & 15).astype(jnp.float32) - 8.0
+        hi = ((((u >> 4) & 15) + 8) & 15).astype(jnp.float32) - 8.0
+        qu = jnp.stack([lo, hi], axis=2).reshape(E, K, N)
+        w_b = (
+            qu.reshape(E, K // G, G, N)
+            * scales[:, :, None, :].astype(jnp.float32)
+        ).reshape(E, K, N).astype(jnp.bfloat16)
+        return gmm(
+            xs.astype(jnp.bfloat16), w_b, group_sizes,
+            preferred_element_type=jnp.float32,
+        )
     y = gmm(
         xs.astype(jnp.bfloat16),
         qw.astype(jnp.bfloat16),

@@ -44,14 +44,22 @@ def quantize_model_params(
             if isinstance(spec, dict) and "qweight" in spec:
                 dense = np.asarray(dnode[name], dtype=np.float32)
                 if "zeros" not in spec:
-                    # MoE expert triple {"qweight","scales"}: int8
-                    # per-(expert, out-channel) symmetric, layer-stacked
-                    # [L, E, K, N] (ops/moe_quant.py).
+                    # MoE expert pair {"qweight","scales"}, layer-stacked
+                    # [L, E, K, N] (ops/moe_quant.py): int4 (packed rows,
+                    # per-group grids) when the declared qweight K is
+                    # halved, else int8 per-(expert, channel).
                     from scalellm_tpu.ops.moe_quant import (
+                        quantize_experts_int4,
                         quantize_experts_int8,
                     )
 
-                    qw, sc = zip(*(quantize_experts_int8(dense[l])
+                    int4 = spec["qweight"][-2] * 2 == dense.shape[-2]
+                    efn = (
+                        (lambda d: quantize_experts_int4(
+                            d, dense.shape[-2] // spec["scales"][-2]))
+                        if int4 else quantize_experts_int8
+                    )
+                    qw, sc = zip(*(efn(dense[l])
                                    for l in range(dense.shape[0])))
                     out[name] = {
                         "qweight": np.stack(qw), "scales": np.stack(sc),

@@ -152,3 +152,128 @@ def test_grouped_quant_matmul_prefill_path_cpu():
         jnp.asarray(xs), jnp.asarray(qw), jnp.asarray(sc), jnp.asarray(gs))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_int4_dequant_roundtrip():
+    from scalellm_tpu.ops.moe_quant import _dequant_int4, quantize_experts_int4
+
+    rng = np.random.default_rng(2)
+    E, K, N, G = 4, 256, 128, 128
+    w = rng.standard_normal((E, K, N)).astype(np.float32) * 0.05
+    qw, sc = quantize_experts_int4(w, G)
+    assert qw.shape == (E, K // 2, N) and sc.shape == (E, K // G, N)
+    for e in range(E):
+        deq = np.asarray(_dequant_int4(jnp.asarray(qw[e]), jnp.asarray(sc[e]), G))
+        rel = np.abs(deq - w[e]).max() / np.abs(w[e]).max()
+        assert rel < 0.12, rel  # int4 g128 grid error
+
+
+def test_decode_kernel_int4_matches_ref_interpret():
+    from scalellm_tpu.ops.moe_quant import quantize_experts_int4
+
+    rng = np.random.default_rng(3)
+    E, K, N, Tp, G = 8, 256, 384, 128, 128
+    w = rng.standard_normal((E, K, N)).astype(np.float32) * 0.05
+    qw, sc = quantize_experts_int4(w, G)
+    xs = rng.standard_normal((Tp, K)).astype(np.float32)
+    gs = np.zeros(E, np.int32)
+    gs[0], gs[4], gs[7] = 30, 70, 11
+    ref = np.asarray(_ref_grouped_quant_matmul(
+        jnp.asarray(xs), jnp.asarray(qw), jnp.asarray(sc), jnp.asarray(gs)))
+    out = np.asarray(_decode_grouped_quant_matmul(
+        jnp.asarray(xs), jnp.asarray(qw), jnp.asarray(sc), jnp.asarray(gs),
+        interpret=True))
+    covered = int(gs.sum())
+    np.testing.assert_allclose(out[:covered], ref[:covered],
+                               rtol=2e-2, atol=1e-2)
+    assert np.abs(out[covered:]).max() == 0
+
+
+def test_deepseek_int4_experts_parity():
+    """int4-g128 experts: logits stay close to dense (same weights)."""
+    from scalellm_tpu.config import QuantArgs
+    from scalellm_tpu.engine.params import ModelInputs
+    from scalellm_tpu.models.deepseek import MLADecoderModel
+    from scalellm_tpu.parallel.config import ParallelConfig
+    from scalellm_tpu.quantization.runtime import quantize_model_params
+
+    dense = MLADecoderModel(_tiny_deepseek_args(False), ParallelConfig())
+    params = dense.init_params(jax.random.PRNGKey(0))
+    qmodel, qparams = quantize_model_params(
+        dense, jax.tree_util.tree_map(np.asarray, params),
+        QuantArgs(quant_method="internal", bits=4, group_size=32),
+    )
+    assert qmodel.moe_quant_bits == 4
+    mg = qparams["moe_layers"]["moe_gate"]
+    assert mg["qweight"].shape[-2] * 2 == 64  # packed K rows (D=64)
+
+    T, page = 4, 4
+    kv = jnp.zeros(dense.kv_cache_shape(8, page), jnp.float32)
+    mi = ModelInputs(
+        token_ids=jnp.asarray([3, 17, 42, 9], jnp.int32),
+        positions=jnp.arange(T, dtype=jnp.int32),
+        token_seg=jnp.zeros(T, jnp.int32),
+        new_kv_slot_ids=jnp.arange(T, dtype=jnp.int32) + page,
+        block_tables=jnp.asarray([[1, 2, 0, 0]], jnp.int32),
+        kv_lens=jnp.asarray([T], jnp.int32),
+        cu_q_lens=jnp.asarray([0, T], jnp.int32),
+        num_seqs=jnp.asarray([1], jnp.int32),
+        selected_idxes=jnp.asarray([T - 1], jnp.int32),
+        seq_mask=jnp.ones(1, jnp.float32),
+    )
+    h_d, _ = dense.forward(params, kv, mi)
+    l_d = dense.logits(params, h_d)
+    qparams = jax.tree_util.tree_map(jnp.asarray, qparams)
+    h_q, _ = qmodel.forward(qparams, kv, mi)
+    l_q = qmodel.logits(qparams, h_q)
+    err = float(jnp.abs(l_q - l_d).max() / (jnp.abs(l_d).max() + 1e-9))
+    assert err < 0.25, err  # int4 grid, small-G tiny model: loose band
+
+
+def test_mixtral_runtime_quant_experts_parity(tmp_path):
+    """Generic DecoderModel MoE families take the same quantized-expert
+    path (runtime int8): mixtral logits must track the dense model."""
+    from scalellm_tpu.config import QuantArgs
+    from scalellm_tpu.engine.params import ModelInputs
+    from scalellm_tpu.models.registry import ModelRegistry
+    from scalellm_tpu.parallel.config import ParallelConfig
+    from scalellm_tpu.quantization.runtime import quantize_model_params
+
+    args = ModelRegistry.get_model_args_loader("mixtral")(dict(
+        torch_dtype="float32", vocab_size=128, hidden_size=64,
+        intermediate_size=96, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, num_local_experts=4,
+        num_experts_per_tok=2,
+    ))
+    factory = ModelRegistry.get_causal_lm_factory("mixtral")
+    dense = factory(args, ParallelConfig())
+    params = dense.init_params(jax.random.PRNGKey(1))
+    qmodel, qparams = quantize_model_params(
+        dense, jax.tree_util.tree_map(np.asarray, params),
+        QuantArgs(quant_method="internal", bits=8, group_size=32),
+    )
+    assert isinstance(qparams["layers"]["moe_gate"], dict)
+    assert qparams["layers"]["moe_gate"]["qweight"].dtype == np.int8
+
+    T, page = 4, 4
+    kv = jnp.zeros(dense.kv_cache_shape(8, page), jnp.float32)
+    mi = ModelInputs(
+        token_ids=jnp.asarray([3, 17, 42, 9], jnp.int32),
+        positions=jnp.arange(T, dtype=jnp.int32),
+        token_seg=jnp.zeros(T, jnp.int32),
+        new_kv_slot_ids=jnp.arange(T, dtype=jnp.int32) + page,
+        block_tables=jnp.asarray([[1, 2, 0, 0]], jnp.int32),
+        kv_lens=jnp.asarray([T], jnp.int32),
+        cu_q_lens=jnp.asarray([0, T], jnp.int32),
+        num_seqs=jnp.asarray([1], jnp.int32),
+        selected_idxes=jnp.asarray([T - 1], jnp.int32),
+        seq_mask=jnp.ones(1, jnp.float32),
+    )
+    h_d, _ = dense.forward(params, kv, mi)
+    l_d = dense.logits(params, h_d)
+    qparams = jax.tree_util.tree_map(jnp.asarray, qparams)
+    h_q, _ = qmodel.forward(qparams, kv, mi)
+    l_q = qmodel.logits(qparams, h_q)
+    err = float(jnp.abs(l_q - l_d).max() / (jnp.abs(l_d).max() + 1e-9))
+    assert err < 0.08, err
