@@ -483,16 +483,32 @@ def _serve_section(repo: str) -> None:
     a subprocess (own engine + TPU client)."""
 
     def serve_run(preset, n_req, extra=(), tag=""):
+        # 8B's first serve pass cold-compiles the whole bucket ladder over
+        # the remote-compile tunnel (measured: >2400s uncached); completed
+        # compiles persist in the atomic on-disk cache, so a generous
+        # timeout lets one slow first run amortize all later ones.
+        timeout_s = int(os.environ.get("BENCH_SERVE_TIMEOUT", 4200))
         try:
-            out = subprocess.run(
-                [
-                    sys.executable, "benchmarks/serve_bench.py",
-                    "--preset", preset, "--num-requests", str(n_req),
-                    "--mean-prompt", "128", "--mean-output", "64",
-                    "--json-only", *extra,
-                ],
-                capture_output=True, text=True, timeout=2400, cwd=repo,
-            )
+            for attempt in (1, 2):
+                try:
+                    out = subprocess.run(
+                        [
+                            sys.executable, "benchmarks/serve_bench.py",
+                            "--preset", preset, "--num-requests", str(n_req),
+                            "--mean-prompt", "128", "--mean-output", "64",
+                            "--json-only", *extra,
+                        ],
+                        capture_output=True, text=True, timeout=timeout_s,
+                        cwd=repo,
+                    )
+                    break
+                except subprocess.TimeoutExpired:
+                    # Cold bucket-ladder compiles can outlast the budget;
+                    # every finished compile persisted to the atomic disk
+                    # cache, so a retry resumes from warm and usually
+                    # completes (8B first-run behavior over the tunnel).
+                    if attempt == 2:
+                        raise
             r = json.loads(out.stdout.strip().splitlines()[-1])
             line = {
                 "metric": f"serve_mixed_output_tokens_per_s_{preset}{tag}",
@@ -523,15 +539,19 @@ def _serve_section(repo: str) -> None:
         extra=("--num-decode-steps", "4"), tag="_ms4",
     )
     # BASELINE config 3: 8B-INT4 + prefix cache + chunked prefill,
-    # plus the multi-step and async-pipelined-scheduler A/Bs.
-    serve_run("llama31-8b-int4", 24)
+    # plus the multi-step and async-pipelined-scheduler A/Bs. The batch
+    # envelope is capped (tokens 256 / seqs 32) — a legitimate serving
+    # config that halves the bucket-ladder surface: each distinct 8B
+    # bucket costs ~75s of remote compile on a cold cache.
+    cap = ("--max-tokens-per-batch", "256", "--max-seqs-per-batch", "32")
+    serve_run("llama31-8b-int4", 24, extra=cap)
     serve_run(
         "llama31-8b-int4", 24,
-        extra=("--num-decode-steps", "4"), tag="_ms4",
+        extra=cap + ("--num-decode-steps", "4"), tag="_ms4",
     )
     serve_run(
         "llama31-8b-int4", 24,
-        extra=("--disable-async-scheduling",), tag="_sync",
+        extra=cap + ("--disable-async-scheduling",), tag="_sync",
     )
     # BASELINE config 4 honesty: trained target + weaker trained draft
     # => real acceptance rate (benchmarks/spec_bench.py --trained).
@@ -572,6 +592,11 @@ def main():
                 if is_b1 and (headline is None
                               or preset == "llama31-8b-int4"):
                     headline = d
+                    # Early flush: if the driver kills this process during
+                    # the (long) serve section, the last stdout line is
+                    # still a parseable headline. Printed again in finally;
+                    # the final line wins.
+                    print(json.dumps(headline), flush=True)
         if on_tpu and os.environ.get("BENCH_SERVE", "1") != "0":
             _serve_section(repo)
     finally:

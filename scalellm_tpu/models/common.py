@@ -250,7 +250,7 @@ class DecoderModel:
         opt = getattr(self.quant, "quantize_lm_head", False)
         return 4 if opt == "int4" else 8
 
-    def _tile_n(self, n_local: int) -> int:
+    def _tile_n(self, n_local: int, lm_head: bool = False) -> int:
         """Stored quant tile width for a LOCAL (per-shard) output width —
         the largest power-of-two ≤ the default dividing nothing in
         particular: widths are simply padded up to a tile multiple.
@@ -261,9 +261,15 @@ class DecoderModel:
         from scalellm_tpu.ops.quant_matmul import DEFAULT_TILE_N
 
         w = int(os.environ.get("QUANT_TILE_N", 0)) or DEFAULT_TILE_N
+        if lm_head:
+            # The int8 lm_head is the single biggest quant matmul (N =
+            # vocab: 126 grid cells at W=1024 for 128k vocab); its tile
+            # width is tunable separately (QUANT_TILE_N_LMHEAD).
+            w = int(os.environ.get("QUANT_TILE_N_LMHEAD", 0)) or w
         return min(w, n_local)
 
-    def _tiled_shape(self, triple: Dict[str, Tuple], tp_sharded: bool) -> Dict[str, Tuple]:
+    def _tiled_shape(self, triple: Dict[str, Tuple], tp_sharded: bool,
+                     lm_head: bool = False) -> Dict[str, Tuple]:
         """Flat quant triple shapes (L, R, N) → tiled (L, n_n, R, W). For
         column-parallel (tp_sharded) params, each shard's chunk is tiled and
         padded independently so PartitionSpec over the tile dim shards
@@ -271,7 +277,7 @@ class DecoderModel:
         tp = self.parallel.tp_size if tp_sharded else 1
         L, Rq, N = triple["qweight"]
         n_local = N // tp
-        W = self._tile_n(n_local)
+        W = self._tile_n(n_local, lm_head)
         n_tiles_local = -(-n_local // W)  # ceil
         n_n = n_tiles_local * tp
         out = {}
@@ -343,7 +349,8 @@ class DecoderModel:
                     layers[name] = self._tiled_shape(node, name in col_parallel)
         if self._lm_head_quant() and "lm_head" in shapes:
             shapes["lm_head"] = self._tiled_shape(
-                {k: (1,) + v for k, v in shapes["lm_head"].items()}, True
+                {k: (1,) + v for k, v in shapes["lm_head"].items()}, True,
+                lm_head=True,
             )
             shapes["lm_head"] = {
                 k: v[1:] for k, v in shapes["lm_head"].items()
@@ -441,9 +448,9 @@ class DecoderModel:
         tp = self.parallel.tp_size
         col_parallel = {"qkv_proj", "gate_up_proj", "up_proj"}
 
-        def tile_triple(triple, tp_sharded):
+        def tile_triple(triple, tp_sharded, lm_head=False):
             tp_n = tp if tp_sharded else 1
-            W = self._tile_n(triple["qweight"].shape[-1] // tp_n)
+            W = self._tile_n(triple["qweight"].shape[-1] // tp_n, lm_head)
             out = {}
             for key, arr in triple.items():
                 if key == "perm":  # desc_act input gather: stays [L, K]
@@ -469,7 +476,7 @@ class DecoderModel:
                 layers[name] = tile_triple(node, name in col_parallel)
         lm = params.get("lm_head")
         if isinstance(lm, dict) and np.asarray(lm["qweight"]).ndim == 2:
-            params["lm_head"] = tile_triple(lm, True)
+            params["lm_head"] = tile_triple(lm, True, lm_head=True)
         return params
 
     def param_partition_specs(self) -> Dict[str, Any]:
