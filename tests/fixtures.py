@@ -109,3 +109,58 @@ def trained_tiny_llama_cached() -> str:
 
     d = os.path.join(tempfile.gettempdir(), "scalellm_trained_tiny_v1")
     return make_trained_tiny_llama(d)
+
+
+def make_trained_tiny_mixtral(dirpath: str, steps: int = 250,
+                              seed: int = 0) -> str:
+    """A tiny char-level MIXTRAL (4 experts, top-2) trained on the corpus:
+    gives the accuracy harness a structured MoE model so quantized-EXPERT
+    ppl deltas (ops/moe_quant.py int8/int4 paths) are measurable."""
+    if os.path.exists(os.path.join(dirpath, "config.json")):
+        return dirpath
+    import torch
+    from transformers import MixtralConfig, MixtralForCausalLM
+
+    torch.manual_seed(seed)
+    corpus_path = os.path.join(os.path.dirname(__file__), "data", "corpus.txt")
+    with open(corpus_path, "rb") as f:
+        data = f.read()
+    ids = torch.tensor([min(b, 255) for b in data], dtype=torch.long)
+
+    cfg = MixtralConfig(
+        vocab_size=256,
+        hidden_size=128,
+        intermediate_size=256,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=512,
+        num_local_experts=4,
+        num_experts_per_tok=2,
+        tie_word_embeddings=False,
+        router_aux_loss_coef=0.01,
+    )
+    model = MixtralForCausalLM(cfg).to(torch.float32)
+    opt = torch.optim.Adam(model.parameters(), lr=1e-3)
+    g = torch.Generator().manual_seed(seed)
+    T, B = 128, 16
+    model.train()
+    for _ in range(steps):
+        starts = torch.randint(0, len(ids) - T - 1, (B,), generator=g)
+        batch = torch.stack([ids[s : s + T] for s in starts])
+        loss = model(input_ids=batch, labels=batch).loss
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+    model.eval()
+    os.makedirs(dirpath, exist_ok=True)
+    model.save_pretrained(dirpath, safe_serialization=True)
+    save_char_tokenizer(dirpath)
+    return dirpath
+
+
+def trained_tiny_mixtral_cached() -> str:
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), "scalellm_trained_mixtral_v1")
+    return make_trained_tiny_mixtral(d)
