@@ -500,6 +500,11 @@ def _serve_section(repo: str) -> None:
                         ],
                         capture_output=True, text=True, timeout=timeout_s,
                         cwd=repo,
+                        # Dump thread stacks + exit shortly before the
+                        # timeout: tunnel stalls park every thread on a
+                        # futex and would otherwise die silently.
+                        env={**os.environ,
+                             "SERVE_BENCH_WATCHDOG": str(timeout_s - 300)},
                     )
                     break
                 except subprocess.TimeoutExpired:

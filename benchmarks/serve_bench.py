@@ -39,6 +39,15 @@ def _percentile(h, q: float) -> float:
 
 
 def main():
+    # Hang forensics: SERVE_BENCH_WATCHDOG=<secs> dumps all thread stacks
+    # and exits if the run exceeds the budget (tunnel hangs are otherwise
+    # silent: every thread parks on a futex waiting for a device result).
+    wd = int(os.environ.get("SERVE_BENCH_WATCHDOG", "0"))
+    if wd:
+        import faulthandler
+
+        faulthandler.dump_traceback_later(wd, exit=True)
+
     p = argparse.ArgumentParser()
     p.add_argument("--model", type=str, default=None)
     p.add_argument("--tiny", action="store_true", help="synthetic tiny llama")

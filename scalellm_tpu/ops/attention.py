@@ -123,13 +123,21 @@ def ragged_paged_attention(
         # Large prefills need more than the default 16MB scoped VMEM
         # budget (q alone is T*H*D*2 bytes), and long-context decode
         # overflows it by the kernel's KV-block buffers (measured: 8B at
-        # 134 pages/seq needs 16.05M — 48KB over). v5e/v6e have 128MB VMEM.
+        # 134 pages/seq needs 16.05M — 48KB over; the T=256/S=2/64-page
+        # chunked-prefill serve bucket needs 16.41M and the remote-compile
+        # client RETRIES the failing compile forever, wedging the whole
+        # engine). v5e/v6e have 128MB physical VMEM — raise the scoped
+        # limit for any shape that could plausibly brush 16MB; only the
+        # tiny decode shapes (where the default measured fastest) keep it.
         vmem_limit = None
         q_bytes = q.shape[0] * q.shape[1] * q.shape[2] * 2
         if q_bytes > 4 * 1024 * 1024:
             vmem_limit = 100 * 1024 * 1024
-        elif page_indices.shape[1] * kv_pages.shape[1] > 1024:
-            vmem_limit = 32 * 1024 * 1024
+        elif (
+            q_bytes > 1024 * 1024
+            or page_indices.shape[1] * kv_pages.shape[1] >= 1024
+        ):
+            vmem_limit = 48 * 1024 * 1024
         return tpu_kernel(
             q,
             kv_pages,
