@@ -523,6 +523,7 @@ def _serve_section(repo: str) -> None:
                 "p95_ttft_s": r["p95_ttft_s"],
                 "p50_itl_s": r["p50_itl_s"],
                 "mid_serve_compiles": r["mid_serve_compiles"],
+                "engine_steps": r.get("engine_steps"),
             }
             if "multi_step_fraction" in r:
                 line["multi_step_fraction"] = r["multi_step_fraction"]

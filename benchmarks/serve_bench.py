@@ -184,6 +184,7 @@ def main():
         "p50_e2e_s": _percentile(e2e, 0.5),
         "prefix_cache_blocks": metrics.GAUGES.get("num_blocks_in_prefix_cache"),
         "mid_serve_compiles": metrics.COUNTERS.get("num_mid_serve_compiles"),
+        "engine_steps": metrics.COUNTERS.get("num_engine_steps"),
     }
     if args.num_decode_steps > 1:
         # Fast-path coverage: what fraction of engine dispatches took the

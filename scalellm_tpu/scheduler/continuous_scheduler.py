@@ -143,7 +143,7 @@ class ContinuousScheduler:
             # Build the next batch BEFORE resolving the in-flight step;
             # pending-token rows read the in-flight samples on device.
             nxt = self._build_batch(0.0, pipelined=True)
-            if nxt.entries and self._multi_n > 1:
+            if nxt.entries:
                 COUNTERS.inc("num_engine_steps")
             if nxt.entries and not self._starved and not nxt.needs_sync():
                 outs = self._engine.dispatch_model(
@@ -165,10 +165,9 @@ class ContinuousScheduler:
         batch = self._build_batch(timeout_s)
         if not batch.entries:
             return 0
-        if self._multi_n > 1:
-            # Fast-path coverage telemetry: multi_step_fraction =
-            # num_multi_steps / num_engine_steps in the serve bench.
-            COUNTERS.inc("num_engine_steps")
+        # Step telemetry: multi_step_fraction = num_multi_steps /
+        # num_engine_steps; also the sync-vs-async A/B's step-count diff.
+        COUNTERS.inc("num_engine_steps")
         if self._multi_n > 1 and batch.can_multi_step():
             t0 = time.monotonic()
             self._engine.execute_model_multi(batch, self._multi_n)
