@@ -135,9 +135,8 @@ class MLADecoderModel:
         # ops/moe_quant.py): the experts are ~93% of V2-class weights, so
         # this alone turns a 29 GB V2-Lite into ~10 GB, and the decode path
         # streams only the ROUTED experts' blocks instead of scan-slicing
-        # the full stacked expert arrays every layer. Attention/dense/shared
-        # projections stay bf16 (int8 experts regardless of requested bits;
-        # int4 expert packing is future work).
+        # the full stacked expert arrays every layer (int8 or int4-g128 by
+        # requested bits). See proj_quant below for the non-expert mats.
         self.moe_quant = bool(
             a.n_experts > 0 and a.quant_args and a.quant_args.enabled
         )
@@ -147,6 +146,13 @@ class MLADecoderModel:
         self.moe_quant_bits = (
             a.quant_args.bits if self.moe_quant and a.quant_args.bits else 8
         )
+        # Runtime int8-g128 for the big PLAIN projections of MoE layers
+        # (q_proj, o_proj, shared experts) and the lm_head: after expert
+        # quantization these are most of the remaining decode bytes
+        # (~54 MB/layer + 420 MB lm_head bf16 at V2-Lite dims). Streamed
+        # layer-stacked like common.py's quant path. Single-shard only
+        # (TP shards keep bf16 projections + quantized experts).
+        self.proj_quant = bool(self.moe_quant and tp == 1)
         self.kv_quant = a.kv_cache_dtype == "int8"
         self.moe_expert_sharded = (
             a.n_experts > 0 and tp > 1 and a.n_experts % tp == 0
@@ -170,7 +176,38 @@ class MLADecoderModel:
 
     # ------------------------------------------------------------ param spec
 
-    def _attn_shapes(self, L: int) -> Dict[str, Any]:
+    def _quant_triple(self, L: int, K: int, N: int) -> Dict[str, Tuple]:
+        """Tiled g128 triple shapes (L, n_n, R, W) for a plain [K, N]
+        projection at moe_quant_bits (int4 packs two K rows per byte;
+        ops/quant_matmul.py tiled layout; N padded up to a tile multiple —
+        callers slice outputs back to N)."""
+        import math
+
+        from scalellm_tpu.ops.quant_matmul import DEFAULT_TILE_N
+
+        G = math.gcd(K, 128)  # 128 for real dims; shrinks for tiny tests
+        assert self._can_quant(K), K
+        pack = 2 if self.moe_quant_bits == 4 else 1
+        W = min(DEFAULT_TILE_N, N)
+        n_n = -(-N // W)
+        return {
+            "qweight": (L, n_n, K // pack, W),
+            "scales": (L, n_n, K // G, W),
+            "zeros": (L, n_n, K // G, W),
+        }
+
+    def _can_quant(self, K: int) -> bool:
+        """The layer-stacked stream path DMAs scale blocks [K/G, W] at
+        dynamic offsets — Mosaic requires the sublane extent be a multiple
+        of the dtype tiling (16 for bf16 scales). K dims whose K/G isn't
+        16-aligned (e.g. V2-Lite's shared_down K=2816 → 22 rows) stay
+        bf16."""
+        import math
+
+        G = math.gcd(K, 128)
+        return K % G == 0 and (K // G) % 16 == 0
+
+    def _attn_shapes(self, L: int, quant: bool = False) -> Dict[str, Any]:
         a = self.args
         D, H = a.hidden_size, a.n_heads
         qk, r = self.qk_head_dim, a.qk_rope_head_dim
@@ -180,14 +217,28 @@ class MLADecoderModel:
             "kv_a": (L, D, a.kv_lora_rank + r),
             "kv_a_norm": (L, a.kv_lora_rank),
             "kv_b": (L, a.kv_lora_rank, H * (a.qk_nope_head_dim + a.v_head_dim)),
-            "o_proj": (L, H * a.v_head_dim, D),
+            # o_proj / q_proj: the two big plain matmuls — int8 when quant
+            # (kv_a is tiny; kv_b is consumed as per-head absorb einsums).
+            "o_proj": (
+                self._quant_triple(L, H * a.v_head_dim, D)
+                if quant and self._can_quant(H * a.v_head_dim)
+                else (L, H * a.v_head_dim, D)
+            ),
         }
         if a.q_lora_rank:
             shapes["q_a"] = (L, D, a.q_lora_rank)
             shapes["q_a_norm"] = (L, a.q_lora_rank)
-            shapes["q_b"] = (L, a.q_lora_rank, H * qk)
+            shapes["q_b"] = (
+                self._quant_triple(L, a.q_lora_rank, H * qk)
+                if quant and self._can_quant(a.q_lora_rank)
+                else (L, a.q_lora_rank, H * qk)
+            )
         else:
-            shapes["q_proj"] = (L, D, H * qk)
+            shapes["q_proj"] = (
+                self._quant_triple(L, D, H * qk)
+                if quant and self._can_quant(D)
+                else (L, D, H * qk)
+            )
         return shapes
 
     def param_shapes(self) -> Dict[str, Any]:
@@ -202,7 +253,7 @@ class MLADecoderModel:
             shapes["dense_layers"] = dense
         if self.n_moe:
             L, E, Fm = self.n_moe, a.n_experts, a.moe_intermediate_size
-            moe = self._attn_shapes(L)
+            moe = self._attn_shapes(L, quant=self.proj_quant)
             moe["router"] = (L, D, E)
             if self.moe_quant and self.moe_quant_bits == 4:
                 G = a.quant_args.group_size or 128
@@ -226,17 +277,63 @@ class MLADecoderModel:
                 moe["moe_down"] = (L, E, Fm, D)
             Fs = Fm * a.n_shared_experts
             if Fs:
-                moe["shared_gate_proj"] = (L, D, Fs)
-                moe["shared_up_proj"] = (L, D, Fs)
-                moe["shared_down_proj"] = (L, Fs, D)
+                if self.proj_quant and self._can_quant(D):
+                    moe["shared_gate_proj"] = self._quant_triple(L, D, Fs)
+                    moe["shared_up_proj"] = self._quant_triple(L, D, Fs)
+                else:
+                    moe["shared_gate_proj"] = (L, D, Fs)
+                    moe["shared_up_proj"] = (L, D, Fs)
+                if self.proj_quant and self._can_quant(Fs):
+                    moe["shared_down_proj"] = self._quant_triple(L, Fs, D)
+                else:
+                    moe["shared_down_proj"] = (L, Fs, D)
             shapes["moe_layers"] = moe
         if not a.tie_word_embeddings:
-            shapes["lm_head"] = (D, V)
+            if self.proj_quant and self._can_quant(D):
+                # int8 lm_head: halves the biggest single decode read
+                # (V2-Lite: 420 MB bf16 → 210 MB). Triple shapes are the
+                # (1, ...)-stacked tiled layout with the lead dim dropped.
+                tr = self._quant_triple(1, D, V)
+                shapes["lm_head"] = {k: v[1:] for k, v in tr.items()}
+            else:
+                shapes["lm_head"] = (D, V)
         return shapes
 
     load_param_shapes = param_shapes  # no fusion (yet)
 
-    def _attn_specs(self, tp) -> Dict[str, Any]:
+    def _lm_head_bits(self) -> int:
+        return self.moe_quant_bits  # proj_quant lm_head follows the bits
+
+    def tile_quant_params(self, params: Dict[str, Any]) -> Dict[str, Any]:
+        """Flat runtime-quantized triples → the N-tiled storage layout of
+        param_shapes() (same convention as DecoderModel.tile_quant_params;
+        expert pairs already carry their [L, E, ...] layout)."""
+        import numpy as np
+
+        if not self.proj_quant:
+            return params
+        from scalellm_tpu.ops.quant_matmul import (
+            DEFAULT_TILE_N, tile_quant_layout,
+        )
+
+        def tile_triple(triple):
+            W = min(DEFAULT_TILE_N, triple["qweight"].shape[-1])
+            return {k: tile_quant_layout(v, W) for k, v in triple.items()}
+
+        moe = params.get("moe_layers", {})
+        for name, node in list(moe.items()):
+            if (
+                isinstance(node, dict)
+                and "zeros" in node
+                and np.asarray(node["qweight"]).ndim == 3
+            ):
+                moe[name] = tile_triple(node)
+        lm = params.get("lm_head")
+        if isinstance(lm, dict) and np.asarray(lm["qweight"]).ndim == 2:
+            params["lm_head"] = tile_triple(lm)
+        return params
+
+    def _attn_specs(self, tp, quant: bool = False) -> Dict[str, Any]:
         """Head-sharded MLA specs (see class docstring). The head dim is
         MAJOR in every H*{qk,nope+vd,vd} flattened axis, so sharding that
         axis into tp chunks yields head-contiguous slices."""
@@ -255,6 +352,18 @@ class MLADecoderModel:
             specs["q_b"] = P(None, None, tp)
         else:
             specs["q_proj"] = P(None, None, tp)
+        if quant:
+            # proj_quant is single-shard only: quant triples replicate.
+            rep4 = {"qweight": P(None, None, None, None),
+                    "scales": P(None, None, None, None),
+                    "zeros": P(None, None, None, None)}
+            if self._can_quant(a.n_heads * a.v_head_dim):
+                specs["o_proj"] = dict(rep4)
+            if a.q_lora_rank:
+                if self._can_quant(a.q_lora_rank):
+                    specs["q_b"] = dict(rep4)
+            elif self._can_quant(a.hidden_size):
+                specs["q_proj"] = dict(rep4)
         return specs
 
     def param_partition_specs(self) -> Dict[str, Any]:
@@ -271,7 +380,7 @@ class MLADecoderModel:
             dense["down_proj"] = P(None, tp, None)
             specs["dense_layers"] = dense
         if self.n_moe:
-            moe = self._attn_specs(tp)
+            moe = self._attn_specs(tp, quant=self.proj_quant)
             moe["router"] = P(None, None, None)
             if self.moe_quant:
                 # Quantized experts shard over the expert dim only (EP when
@@ -295,12 +404,28 @@ class MLADecoderModel:
                 moe["moe_up"] = P(None, None, None, tp)
                 moe["moe_down"] = P(None, None, tp, None)
             if a.n_shared_experts:
-                moe["shared_gate_proj"] = P(None, None, tp)
-                moe["shared_up_proj"] = P(None, None, tp)
-                moe["shared_down_proj"] = P(None, tp, None)
+                rep4 = {"qweight": P(None, None, None, None),
+                        "scales": P(None, None, None, None),
+                        "zeros": P(None, None, None, None)}
+                Fs_ = a.moe_intermediate_size * a.n_shared_experts
+                if self.proj_quant and self._can_quant(a.hidden_size):
+                    moe["shared_gate_proj"] = dict(rep4)
+                    moe["shared_up_proj"] = dict(rep4)
+                else:
+                    moe["shared_gate_proj"] = P(None, None, tp)
+                    moe["shared_up_proj"] = P(None, None, tp)
+                if self.proj_quant and self._can_quant(Fs_):
+                    moe["shared_down_proj"] = dict(rep4)
+                else:
+                    moe["shared_down_proj"] = P(None, tp, None)
             specs["moe_layers"] = moe
         if not a.tie_word_embeddings:
-            specs["lm_head"] = P(None, tp)  # vocab-sharded, all-gathered
+            if self.proj_quant and self._can_quant(D):
+                specs["lm_head"] = {"qweight": P(None, None, None),
+                                    "scales": P(None, None, None),
+                                    "zeros": P(None, None, None)}
+            else:
+                specs["lm_head"] = P(None, tp)  # vocab-sharded, all-gathered
         return specs
 
     def kv_cache_shape(self, num_pages: int, page_size: int) -> Tuple[int, ...]:
@@ -318,8 +443,10 @@ class MLADecoderModel:
 
         def init_leaf(path, shape, key):
             name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
-            if name == "qweight":  # quantized MoE experts (moe_quant)
+            if name == "qweight":  # quantized experts / projections
                 return jax.random.randint(key, shape, -127, 128, jnp.int8)
+            if name == "zeros":
+                return jnp.zeros(shape, jnp.int8)
             if name == "scales":
                 return jnp.full(shape, 0.01, jnp.float32)
             if name.endswith("norm"):
@@ -373,7 +500,20 @@ class MLADecoderModel:
         )[None, :]
         return jnp.cos(freqs) * mscale, jnp.sin(freqs) * mscale
 
-    def _attention(self, lp, h, mi, cos, sin, kvc, decode_only=False):
+    def _qmm(self, x, w, li=None, n=None):
+        """x @ tiled int8-g128 triple (f32 result); slices tile-padding
+        back to n. Layer-stacked triples stream at the li offset
+        (ops/quant_matmul.py stacked path — no scan-slice copies)."""
+        from scalellm_tpu.ops.quant_matmul import quant_matmul
+
+        out = quant_matmul(
+            x, w["qweight"], w["scales"], w["zeros"],
+            bits=self.moe_quant_bits, symmetric=True, layer=li,
+        )
+        return out[:, :n] if n is not None else out
+
+    def _attention(self, lp, h, mi, cos, sin, kvc, decode_only=False,
+                   stream=None, li=None):
         """Absorbed MLA-as-MQA over the latent cache (see module docstring).
 
         Cache write: K = [c_kv | k_pe_roped], V = [c_kv | 0] (one shared
@@ -389,11 +529,17 @@ class MLADecoderModel:
         Dc = self.kv_head_dim
         T = h.shape[0]
 
+        stream = stream or {}
         x = rms_norm(h, lp["input_norm"], a.rms_norm_eps)
         if a.q_lora_rank:
             qa = jnp.dot(x, lp["q_a"], preferred_element_type=jnp.float32)
             qa = rms_norm(qa.astype(h.dtype), lp["q_a_norm"], a.rms_norm_eps)
-            q = jnp.dot(qa, lp["q_b"], preferred_element_type=jnp.float32)
+            if "q_b" in stream:
+                q = self._qmm(qa, stream["q_b"], li, H * qk)
+            else:
+                q = jnp.dot(qa, lp["q_b"], preferred_element_type=jnp.float32)
+        elif "q_proj" in stream:
+            q = self._qmm(x, stream["q_proj"], li, H * qk)
         else:
             q = jnp.dot(x, lp["q_proj"], preferred_element_type=jnp.float32)
         q = q.astype(h.dtype).reshape(T, H, qk)
@@ -439,10 +585,13 @@ class MLADecoderModel:
             "thr,rhv->thv", o_lat.astype(h.dtype), w_uv,
             preferred_element_type=jnp.float32,
         )
-        o = jnp.dot(
-            o.astype(h.dtype).reshape(T, H * vd), lp["o_proj"],
-            preferred_element_type=jnp.float32,
-        )
+        o_in = o.astype(h.dtype).reshape(T, H * vd)
+        if "o_proj" in stream:
+            o = self._qmm(o_in, stream["o_proj"], li, a.hidden_size)
+        else:
+            o = jnp.dot(
+                o_in, lp["o_proj"], preferred_element_type=jnp.float32
+            )
         if self.parallel.tp_axis is not None:
             o = lax.psum(o, self.parallel.tp_axis)
         return h + o.astype(h.dtype), kvc
@@ -473,7 +622,7 @@ class MLADecoderModel:
             topk_w = topk_w * a.routed_scaling_factor
         return topk_w, topk_e
 
-    def _moe_ffn(self, lp, x, expert_stream=None, li=None):
+    def _moe_ffn(self, lp, x, expert_stream=None, li=None, stream=None):
         a = self.args
         topk_w, topk_e = self._router(x, lp["router"])
         T = x.shape[0]
@@ -534,13 +683,24 @@ class MLADecoderModel:
             y, mode="drop"
         )
         # Shared experts: plain gated FFN added directly (no gate scalar).
-        if "shared_gate_proj" in lp:
-            sg = jnp.dot(x, lp["shared_gate_proj"], preferred_element_type=jnp.float32)
-            su = jnp.dot(x, lp["shared_up_proj"], preferred_element_type=jnp.float32)
+        # Each projection independently takes the quantized stream or the
+        # bf16 scan param (alignment-gated: e.g. V2-Lite's shared_down has
+        # K=2816 whose scale rows can't sublane-align — see _can_quant).
+        stream = stream or {}
+        if "shared_gate_proj" in stream or "shared_gate_proj" in lp:
+            Fs = a.moe_intermediate_size * a.n_shared_experts
+
+            def shproj(name, inp, n):
+                if name in stream:
+                    return self._qmm(inp, stream[name], li, n)
+                return jnp.dot(
+                    inp, lp[name], preferred_element_type=jnp.float32
+                )
+
+            sg = shproj("shared_gate_proj", x, Fs)
+            su = shproj("shared_up_proj", x, Fs)
             sh = act_with_mul(a.hidden_act, sg, su).astype(x.dtype)
-            out = out + jnp.dot(
-                sh, lp["shared_down_proj"], preferred_element_type=jnp.float32
-            )
+            out = out + shproj("shared_down_proj", sh, a.hidden_size)
         return out
 
     def forward(
@@ -566,26 +726,37 @@ class MLADecoderModel:
                 m = lax.psum(m, tp_axis)
             return h + m.astype(h.dtype), kvc
 
-        # Quantized experts do NOT ride the scan xs (slicing the stacked
-        # [L, E, K, N] arrays would copy every expert's bytes per layer —
-        # same rationale as common.py's quant_stream); they pass whole via
-        # closure and the kernel streams layer li's ROUTED experts only.
+        # Quantized weights do NOT ride the scan xs (slicing the stacked
+        # arrays would copy every byte per layer — same rationale as
+        # common.py's quant_stream); they pass whole via closure and the
+        # kernels stream layer li's tiles in place: expert pairs for the
+        # routed-expert kernel, projection triples for quant_matmul.
         moe_params = params.get("moe_layers")
         expert_stream = None
+        proj_stream = {}
         if self.n_moe and self.moe_quant:
             expert_stream = {
                 k: moe_params[k] for k in ("moe_gate", "moe_up", "moe_down")
             }
+            if self.proj_quant:
+                proj_stream = {
+                    k: v for k, v in moe_params.items()
+                    if isinstance(v, dict) and "zeros" in v
+                }
             moe_params = {
-                k: v for k, v in moe_params.items() if k not in expert_stream
+                k: v for k, v in moe_params.items()
+                if k not in expert_stream and k not in proj_stream
             }
 
         def moe_layer(carry, xs):
             h = carry
             lp, kvc, li = xs
-            h, kvc = self._attention(lp, h, mi, cos, sin, kvc, decode_only)
+            h, kvc = self._attention(
+                lp, h, mi, cos, sin, kvc, decode_only,
+                stream=proj_stream, li=li,
+            )
             x = rms_norm(h, lp["post_norm"], a.rms_norm_eps)
-            m = self._moe_ffn(lp, x, expert_stream, li)
+            m = self._moe_ffn(lp, x, expert_stream, li, stream=proj_stream)
             if tp_axis is not None:
                 m = lax.psum(m, tp_axis)
             return h + m.astype(h.dtype), kvc
@@ -616,6 +787,8 @@ class MLADecoderModel:
         if a.tie_word_embeddings:
             w = params["embed_tokens"].T  # replicated
             return jnp.dot(hidden, w, preferred_element_type=jnp.float32)
+        if isinstance(params["lm_head"], dict):
+            return self._qmm(hidden, params["lm_head"], n=a.vocab_size)
         logits = jnp.dot(
             hidden, params["lm_head"], preferred_element_type=jnp.float32
         )

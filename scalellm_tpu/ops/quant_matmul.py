@@ -400,11 +400,18 @@ def _w4a8_kernel(x_ref, qw_ref, sc_ref, *rest, n_k: int, bits: int, symmetric: b
     n_g = s.shape[0]
     G = bk // n_g
     m = x_ref.shape[0]
-    xf = x_ref[:].astype(jnp.float32)  # [M, BK] bf16 → f32
-    sx = jnp.maximum(
-        jnp.max(jnp.abs(xf), axis=1, keepdims=True), 1e-10
-    ) / 127.0  # [M, 1] per-(row, k-block)
-    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    if _env_int("QUANT_W4A8_SKIP_XQ", 0):
+        # Timing-only probe (outputs wrong): bypass the per-cell activation
+        # quantization to measure whether its VPU work sits on the critical
+        # path or is already overlapped with the weight DMA.
+        sx = jnp.ones((m, 1), jnp.float32)
+        xq = x_ref[:].astype(jnp.int8)
+    else:
+        xf = x_ref[:].astype(jnp.float32)  # [M, BK] bf16 → f32
+        sx = jnp.maximum(
+            jnp.max(jnp.abs(xf), axis=1, keepdims=True), 1e-10
+        ) / 127.0  # [M, 1] per-(row, k-block)
+        xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
     # Sub-chunk software pipeline (QUANT_W4A8_SUBCHUNKS, default 1): split
     # the k-block so the VPU widen of sub-chunk j+1 is independent of the
     # MXU dot of sub-chunk j — Mosaic's scheduler can then overlap them

@@ -81,7 +81,10 @@ def quantize_model_params(
                         if qmodel._lm_head_bits() == 4
                         else quantize_int8
                     )
-                    qw, sc, zp = lm_fn(dense, 128)
+                    # group size from the DECLARED scales K-dim (handles
+                    # tiny-test dims where 128 doesn't divide K)
+                    g_lm = dense.shape[0] // spec["scales"][-2]
+                    qw, sc, zp = lm_fn(dense, g_lm)
                     out[name] = {"qweight": qw, "scales": sc, "zeros": zp}
             elif isinstance(spec, dict):
                 out[name] = convert(spec, dnode[name])
