@@ -453,8 +453,12 @@ def mla_prefill_attention(
             pltpu.SemaphoreType.DMA(()),
         ],
     )
-    # Pad T so every q block's dynamic slice stays in bounds.
-    T_pad = n_qb * block_q
+    # Pad T so every q block's dynamic slice stays in bounds. ONE EXTRA
+    # block beyond the grid cover: a sequence's last q-block starts at
+    # q_start + (ceil(q_len/Bq)-1)*Bq, which can run up to Bq-1 rows past
+    # T — without the extra block that DMA reads out of bounds and the
+    # device faults (surfacing asynchronously at the next fetch).
+    T_pad = (n_qb + 1) * block_q
     q_in = jnp.pad(q, ((0, T_pad - T), (0, 0), (0, 0))) if T_pad > T else q
     # Squeeze the singleton KV-head dim (Mosaic sublane-tiling alignment).
     k_pages = k_pages.reshape(P, page_size, Dck)
