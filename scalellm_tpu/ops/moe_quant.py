@@ -143,7 +143,18 @@ def _decode_kernel(
     @pl.when(i == 0)
     def _():
         o_ref[:] = jnp.zeros_like(o_ref)
-        pltpu.make_async_copy(src(act_ref[0]), w_bufs.at[0], sems.at[0]).start()
+
+        # Under expert-parallel sharding a shard can have ZERO active
+        # experts (all its tokens routed remotely): act_ref is all -1 and
+        # an ungated prologue DMA would read at dynamic index -1 with no
+        # matching wait (Mosaic does not clamp dynamic DMA offsets — same
+        # failure class as the MLA OOB q DMA). Gate the start on a real
+        # expert; every started copy is then waited by its valid step.
+        @pl.when(act_ref[0] >= 0)
+        def _():
+            pltpu.make_async_copy(
+                src(jnp.maximum(act_ref[0], 0)), w_bufs.at[0], sems.at[0]
+            ).start()
 
     @pl.when(valid)
     def _():
@@ -258,11 +269,34 @@ def grouped_quant_matmul(xs, w: dict, group_sizes, *, layer=None,
         if qw.ndim == 4:
             qw, scales = qw[layer], scales[layer]
         return _ref_grouped_quant_matmul(xs, qw, scales, group_sizes)
-    Tp = xs.shape[0]
-    if Tp <= 256:
+    Tp, K = xs.shape
+    E, Kw, N = qw.shape[-3:]
+    # The decode kernel tiles neither N nor K: its VMEM footprint is the
+    # double-buffered weight scratch + the full scales block + the
+    # activation/output blocks. V2-Lite dims are ~6-8 MB; a model with
+    # larger hidden/moe_intermediate sizes would overflow scoped VMEM at
+    # COMPILE time, and a failing remote compile is retried forever and
+    # wedges the serving process (7a2c187 postmortem) — so size-check up
+    # front and fall back to the gmm/dequant path instead.
+    n_scale = scales.size // (scales.shape[0] if qw.ndim == 4 else 1)
+    bits = 4 if Kw * 2 == K else 8
+    decode_vmem = (
+        2 * Kw * N  # int8 weight ring
+        # int4 scales keep their stored dtype; int8 scales are cast to f32
+        + n_scale * (scales.dtype.itemsize if bits == 4 else 4)
+        + Tp * K * 2  # bf16 activations
+        + Tp * N * 4  # f32 output
+    )
+    if Tp <= 256 and decode_vmem <= 12 * 1024 * 1024:
         return _decode_grouped_quant_matmul(
             xs, qw, scales, group_sizes, layer=layer, interpret=interpret
         )
+    if backend != "tpu":
+        # interpret-mode caller that fell through the decode-size gate: the
+        # stock gmm below has no interpret path on CPU.
+        if qw.ndim == 4:
+            qw, scales = qw[layer], scales[layer]
+        return _ref_grouped_quant_matmul(xs, qw, scales, group_sizes)
     # Prefill: cast + stock gmm, per-row expert scale. The per-layer slice
     # + cast materialize one expert matrix transiently; prefill is
     # compute-bound so the extra HBM pass is noise.

@@ -603,7 +603,7 @@ def _pick_blocks(M: int, K: int, N: int, bits: int) -> tuple[int, int, str]:
     jax.jit,
     static_argnames=(
         "bits", "block_n", "block_k", "backend", "symmetric", "variant",
-        "rms_eps",
+        "rms_eps", "interpret",
     ),
 )
 def quant_matmul(
@@ -620,6 +620,7 @@ def quant_matmul(
     layer: Optional[jnp.ndarray] = None,
     rms_gamma: Optional[jnp.ndarray] = None,  # [K]: fused RMSNorm prologue
     rms_eps: float = 1e-6,
+    interpret: bool = False,  # run the TPU kernels in Pallas interpret mode
 ) -> jnp.ndarray:
     """x @ dequant(qweight) with fused dequantization.
 
@@ -654,7 +655,7 @@ def quant_matmul(
     else:
         N = qweight.shape[0] * qweight.shape[2] if tiled else qweight.shape[-1]
     symmetric = symmetric or zeros is None
-    if backend != "tpu":
+    if backend != "tpu" and not interpret:
         if rms_gamma is not None:
             x = _apply_rms_xla(x)
         if stacked:
@@ -910,6 +911,7 @@ def quant_matmul(
                 out_specs=o_spec,
                 scratch_shapes=scratch,
             ),
+            interpret=interpret,
             **kwargs,
         )(jnp.asarray(layer, jnp.int32).reshape(1), *operands)
     else:
@@ -924,6 +926,7 @@ def quant_matmul(
             in_specs=in_specs,
             out_specs=o_spec,
             scratch_shapes=scratch,
+            interpret=interpret,
             **kwargs,
         )(*operands)
     return out

@@ -277,3 +277,52 @@ def test_mixtral_runtime_quant_experts_parity(tmp_path):
     l_q = qmodel.logits(qparams, h_q)
     err = float(jnp.abs(l_q - l_d).max() / (jnp.abs(l_d).max() + 1e-9))
     assert err < 0.08, err
+
+
+def test_decode_kernel_zero_active_experts_interpret():
+    """EP shard whose tokens all routed to remote experts: group_sizes all
+    zero → the compacted active list is all -1. The kernel must not issue
+    a DMA at dynamic index -1 (ADVICE r4: dangling-semaphore/fault class)
+    and must return all-zero rows."""
+    w, qw, sc, xs, gs = _mk()
+    gs = np.zeros_like(gs)
+    out = np.asarray(_decode_grouped_quant_matmul(
+        jnp.asarray(xs), jnp.asarray(qw), jnp.asarray(sc), jnp.asarray(gs),
+        interpret=True))
+    assert out.shape == (xs.shape[0], qw.shape[-1])
+    assert np.abs(out).max() == 0
+
+
+def test_decode_kernel_vmem_overflow_falls_back():
+    """Oversized expert dims must route to the gmm/dequant path instead of
+    compiling a scoped-VMEM-overflowing decode kernel (a failing remote
+    compile is retried forever and wedges serving — 7a2c187 postmortem)."""
+    from unittest import mock
+
+    import scalellm_tpu.ops.moe_quant as mq
+
+    w, qw, sc, xs, gs = _mk()
+    with mock.patch.object(
+        mq, "_decode_grouped_quant_matmul",
+        side_effect=AssertionError("decode kernel must not be used"),
+    ):
+        # Patch the budget by shrinking it via monkeypatched constant:
+        # easiest honest check — call with a fake huge-N weight view is
+        # expensive, so instead verify the routing expression directly.
+        Tp, K = xs.shape
+        E, Kw, N = qw.shape[-3:]
+        decode_vmem = 2 * Kw * N + sc.size * 4 + Tp * K * 2 + Tp * N * 4
+        assert decode_vmem <= 12 * 1024 * 1024  # sanity: small case fits
+    # A >12MB case: N large enough that 2*Kw*N alone exceeds the budget.
+    big_N = (12 * 1024 * 1024) // (2 * qw.shape[-2]) + 256
+    big_qw = np.zeros((qw.shape[0], qw.shape[1], big_N), np.int8)
+    big_sc = np.ones((qw.shape[0], big_N), np.float32)
+    with mock.patch.object(
+        mq, "_decode_grouped_quant_matmul",
+        side_effect=AssertionError("decode kernel must not be used"),
+    ):
+        out = mq.grouped_quant_matmul(
+            jnp.asarray(xs), {"qweight": jnp.asarray(big_qw),
+                              "scales": jnp.asarray(big_sc)},
+            jnp.asarray(gs), interpret=True)
+    assert out.shape == (xs.shape[0], big_N)
