@@ -482,60 +482,77 @@ def _serve_section(repo: str) -> None:
     steady-state continuous batching with prefix-cache reuse, each run in
     a subprocess (own engine + TPU client)."""
 
-    def serve_run(preset, n_req, extra=(), tag=""):
+    def serve_once(preset, n_req, extra):
         # 8B's first serve pass cold-compiles the whole bucket ladder over
         # the remote-compile tunnel (measured: >2400s uncached); completed
         # compiles persist in the atomic on-disk cache, so a generous
         # timeout lets one slow first run amortize all later ones.
         timeout_s = int(os.environ.get("BENCH_SERVE_TIMEOUT", 4200))
-        try:
-            for attempt in (1, 2):
-                try:
-                    out = subprocess.run(
-                        [
-                            sys.executable, "benchmarks/serve_bench.py",
-                            "--preset", preset, "--num-requests", str(n_req),
-                            "--mean-prompt", "128", "--mean-output", "64",
-                            "--json-only", *extra,
-                        ],
-                        capture_output=True, text=True, timeout=timeout_s,
-                        cwd=repo,
-                        # Dump thread stacks + exit shortly before the
-                        # timeout: tunnel stalls park every thread on a
-                        # futex and would otherwise die silently.
-                        env={**os.environ,
-                             "SERVE_BENCH_WATCHDOG": str(timeout_s - 300)},
-                    )
-                    break
-                except subprocess.TimeoutExpired:
-                    # Cold bucket-ladder compiles can outlast the budget;
-                    # every finished compile persisted to the atomic disk
-                    # cache, so a retry resumes from warm and usually
-                    # completes (8B first-run behavior over the tunnel).
-                    if attempt == 2:
-                        raise
-            r = json.loads(out.stdout.strip().splitlines()[-1])
-            line = {
-                "metric": f"serve_mixed_output_tokens_per_s_{preset}{tag}",
-                "value": r["output_tokens_per_s"],
-                "unit": "tokens/s",
-                "p50_ttft_s": r["p50_ttft_s"],
-                "p95_ttft_s": r["p95_ttft_s"],
-                "p50_itl_s": r["p50_itl_s"],
-                "mid_serve_compiles": r["mid_serve_compiles"],
-                "engine_steps": r.get("engine_steps"),
-            }
-            if "multi_step_fraction" in r:
-                line["multi_step_fraction"] = r["multi_step_fraction"]
-            print(json.dumps(line), file=sys.stderr, flush=True)
-            return r
-        except Exception as e:  # auxiliary — never fail the run
-            print(
-                json.dumps(
-                    {"metric": f"serve_mixed_{preset}{tag}", "error": str(e)}
-                ),
-                file=sys.stderr, flush=True,
-            )
+        for attempt in (1, 2):
+            try:
+                out = subprocess.run(
+                    [
+                        sys.executable, "benchmarks/serve_bench.py",
+                        "--preset", preset, "--num-requests", str(n_req),
+                        "--mean-prompt", "128", "--mean-output", "64",
+                        "--json-only", *extra,
+                    ],
+                    capture_output=True, text=True, timeout=timeout_s,
+                    cwd=repo,
+                    # Dump thread stacks + exit shortly before the
+                    # timeout: tunnel stalls park every thread on a
+                    # futex and would otherwise die silently.
+                    env={**os.environ,
+                         "SERVE_BENCH_WATCHDOG": str(timeout_s - 300)},
+                )
+                break
+            except subprocess.TimeoutExpired:
+                # Cold bucket-ladder compiles can outlast the budget;
+                # every finished compile persisted to the atomic disk
+                # cache, so a retry resumes from warm and usually
+                # completes (8B first-run behavior over the tunnel).
+                if attempt == 2:
+                    raise
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    def serve_run(preset, n_req, extra=(), tag=""):
+        """Repeat each serve config ≥3× and report the MEDIAN-throughput
+        run plus min/max spread (VERDICT r4 weak #4: single-shot serve
+        numbers over the tunnel swung up to 72% run-to-run; one run
+        cannot adjudicate a 20% A/B effect)."""
+        reps = int(os.environ.get("BENCH_SERVE_REPS", 3))
+        runs = []
+        for i in range(reps):
+            try:
+                runs.append(serve_once(preset, n_req, extra))
+            except Exception as e:  # auxiliary — never fail the round
+                print(
+                    json.dumps({"metric": f"serve_mixed_{preset}{tag}",
+                                "rep": i, "error": str(e)}),
+                    file=sys.stderr, flush=True,
+                )
+        if not runs:
+            return None
+        runs.sort(key=lambda r: r["output_tokens_per_s"])
+        med = runs[len(runs) // 2]
+        vals = [r["output_tokens_per_s"] for r in runs]
+        line = {
+            "metric": f"serve_mixed_output_tokens_per_s_{preset}{tag}",
+            "value": med["output_tokens_per_s"],
+            "unit": "tokens/s",
+            "n_runs": len(runs),
+            "spread": round((vals[-1] - vals[0]) / max(vals[len(vals) // 2], 1e-9), 3),
+            "runs": vals,
+            "p50_ttft_s": med["p50_ttft_s"],
+            "p95_ttft_s": med["p95_ttft_s"],
+            "p50_itl_s": med["p50_itl_s"],
+            "mid_serve_compiles": med["mid_serve_compiles"],
+            "engine_steps": med.get("engine_steps"),
+        }
+        if "multi_step_fraction" in med:
+            line["multi_step_fraction"] = med["multi_step_fraction"]
+        print(json.dumps(line), file=sys.stderr, flush=True)
+        return med
 
     serve_run("tinyllama-1.1b", 48)
     # Multi-step decode (num_decode_steps=4): N micro-steps per
@@ -550,26 +567,64 @@ def _serve_section(repo: str) -> None:
     # config that halves the bucket-ladder surface: each distinct 8B
     # bucket costs ~75s of remote compile on a cold cache.
     cap = ("--max-tokens-per-batch", "256", "--max-seqs-per-batch", "32")
-    serve_run("llama31-8b-int4", 24, extra=cap)
+    n8b = int(os.environ.get("BENCH_SERVE_NREQ_8B", 64))
+    serve_run("llama31-8b-int4", n8b, extra=cap)
     serve_run(
-        "llama31-8b-int4", 24,
+        "llama31-8b-int4", n8b,
         extra=cap + ("--num-decode-steps", "4"), tag="_ms4",
     )
     serve_run(
-        "llama31-8b-int4", 24,
+        "llama31-8b-int4", n8b,
         extra=cap + ("--disable-async-scheduling",), tag="_sync",
     )
     # BASELINE config 4 honesty: trained target + weaker trained draft
     # => real acceptance rate (benchmarks/spec_bench.py --trained).
-    try:
+    def spec_json(extra):
         out = subprocess.run(
-            [sys.executable, "benchmarks/spec_bench.py", "--trained"],
-            capture_output=True, text=True, timeout=2400, cwd=repo,
+            [sys.executable, "benchmarks/spec_bench.py", *extra],
+            capture_output=True, text=True, timeout=3600, cwd=repo,
         )
-        print(out.stdout.strip().splitlines()[-1], file=sys.stderr, flush=True)
+        line = out.stdout.strip().splitlines()[-1]
+        print(line, file=sys.stderr, flush=True)
+        return json.loads(line)
+
+    trained = gem = None
+    try:
+        trained = spec_json(["--trained"])
     except Exception as e:
-        print(json.dumps({"metric": "spec_decode", "error": str(e)}),
+        print(json.dumps({"metric": "spec_decode_trained", "error": str(e)}),
               file=sys.stderr, flush=True)
+    # BASELINE config 4 at its REAL shape (VERDICT r4 #3): Gemma2-9B-INT8
+    # target + 2B draft, zero weights => the full-acceptance machinery
+    # BOUND; × the trained-fixture acceptance rate => an honest projected
+    # speedup at a realistic draft:target cost ratio.
+    try:
+        gem = spec_json([])  # default --target gemma2-9b-int8
+    except Exception as e:
+        print(json.dumps(
+            {"metric": "spec_decode_gemma2-9b-int8", "error": str(e)}),
+            file=sys.stderr, flush=True)
+    if gem and gem.get("value") and trained and trained.get("acceptance_rate"):
+        k = 4
+        alpha = trained["acceptance_rate"]
+        # E[accepted tokens/round] at per-token acceptance alpha
+        # (leading-match + bonus): (1 - a^(k+1)) / (1 - a).
+        exp_acc = (1 - alpha ** (k + 1)) / (1 - alpha)
+        proj = gem["value"] * exp_acc / (k + 1)
+        plain = gem.get("plain_tokens_per_s") or 1e-9
+        print(json.dumps({
+            "metric": "spec_decode_projected_tokens_per_s_gemma2-9b-int8",
+            "value": round(proj, 1),
+            "unit": "tokens/s",
+            "bound_tokens_per_s": gem["value"],
+            "plain_tokens_per_s": gem.get("plain_tokens_per_s"),
+            "speedup_bound": gem.get("speedup_at_full_acceptance"),
+            "speedup_projected": round(proj / plain, 2),
+            "acceptance_rate_trained_fixture": alpha,
+            "note": "bound measured at the real 9B-int8/2B shape on TPU; "
+                    "projection scales it by the trained-fixture "
+                    "acceptance (egress-blocked: no real checkpoints)",
+        }), file=sys.stderr, flush=True)
 
 
 def main():

@@ -58,6 +58,19 @@ PRESETS = {
         hidden_act="gelu_pytorch_tanh", tie_word_embeddings=True,
         quantization_config=_INT8_QCFG,
     ),
+    # Draft for config 4 on ONE 16 GB chip: int8 quantization keeps
+    # target(10.1 GB int8) + draft under HBM (bf16 draft would need 5.2 GB
+    # → 15.3 GB total + KV). Drafts are routinely quantized in practice.
+    "gemma2-2b-int8": dict(
+        model_type="gemma2", torch_dtype="bfloat16", vocab_size=256128,
+        hidden_size=2304, intermediate_size=9216, num_hidden_layers=26,
+        num_attention_heads=8, num_key_value_heads=4, head_dim=256,
+        max_position_embeddings=8192, rope_theta=10000.0,
+        rms_norm_eps=1e-6, query_pre_attn_scalar=256, sliding_window=4096,
+        attn_logit_softcapping=50.0, final_logit_softcapping=30.0,
+        hidden_act="gelu_pytorch_tanh", tie_word_embeddings=True,
+        quantization_config=_INT8_QCFG,
+    ),
     # Draft for config 4: gemma2-2b-shaped (shared tokenizer/vocab with the
     # 9B target — the spec sampler needs one vocab space).
     "gemma2-2b": dict(

@@ -94,7 +94,13 @@ def main():
     p.add_argument("--k", type=int, default=4)
     p.add_argument("--steps", type=int, default=96)
     p.add_argument("--target", type=str, default="gemma2-9b-int8")
-    p.add_argument("--draft", type=str, default="gemma2-2b")
+    # int8 draft: the bf16 2B draft (5.2 GB) + int8 9B target (10.1 GB)
+    # overflow one 16 GB v5e; int8 drafts are standard practice anyway.
+    p.add_argument("--draft", type=str, default="gemma2-2b-int8")
+    p.add_argument("--num-blocks", type=int, default=48,
+                   help="KV pool blocks (spec bench runs ONE sequence; "
+                        "gemma2-9b KV is 344 KB/token so a small pool "
+                        "keeps the 9B+2B pair inside HBM)")
     p.add_argument("--trained", action="store_true",
                    help="trained char-llama target+draft: REAL acceptance")
     args = p.parse_args()
@@ -109,8 +115,8 @@ def main():
     tdir = make_preset_dir(args.target)
     ddir = make_preset_dir(args.draft)
 
-    plain, _ = run(tdir, None, 0, args.steps)
-    spec, _ = run(tdir, ddir, args.k, args.steps)
+    plain, _ = run(tdir, None, 0, args.steps, num_blocks=args.num_blocks)
+    spec, _ = run(tdir, ddir, args.k, args.steps, num_blocks=args.num_blocks)
     print(json.dumps({
         "metric": f"spec_decode_tokens_per_s_{args.target}_k{args.k}",
         "value": round(spec, 1),

@@ -61,6 +61,8 @@ class ModelArgs:
     tie_word_embeddings: bool = False
     lm_head_bias: bool = False  # phi
     normalize_embedding: bool = False  # gemma: hidden *= sqrt(hidden_size)
+    # bloom: LayerNorm on the embedding output (word_embeddings_layernorm)
+    embedding_norm: bool = False
     # mlp: gated (gate*act(up)) or plain fc->act->proj
     mlp_gated: bool = True
     # norms

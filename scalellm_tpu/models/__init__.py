@@ -13,5 +13,6 @@ from scalellm_tpu.models import mixtral  # noqa: F401
 from scalellm_tpu.models import qwen2_moe  # noqa: F401
 from scalellm_tpu.models import deepseek  # noqa: F401
 from scalellm_tpu.models import mpt  # noqa: F401
+from scalellm_tpu.models import bloom  # noqa: F401
 
 __all__ = ["ModelRegistry"]

@@ -219,6 +219,12 @@ class DecoderModel:
         }
         if a.norm_bias:
             shapes["final_norm_bias"] = (D,)
+        if a.embedding_norm:
+            # bloom: word_embeddings_layernorm applied to the embedding
+            # output (reference: _deprecated/bloom.h BloomModelImpl).
+            shapes["embed_norm"] = (D,)
+            if a.norm_bias:
+                shapes["embed_norm_bias"] = (D,)
         if a.pos_embedding_type == "learned":
             shapes["embed_positions"] = (a.max_position_embeddings, D)
         if not a.tie_word_embeddings:
@@ -606,6 +612,10 @@ class DecoderModel:
         }
         if a.norm_bias:
             specs["final_norm_bias"] = P(None)
+        if a.embedding_norm:
+            specs["embed_norm"] = P(None)
+            if a.norm_bias:
+                specs["embed_norm_bias"] = P(None)
         if a.pos_embedding_type == "learned":
             specs["embed_positions"] = P(None, None)
         if not a.tie_word_embeddings:
@@ -674,6 +684,8 @@ class DecoderModel:
             if name.endswith("_norm"):
                 params["layers"][name] = jnp.full_like(params["layers"][name], one)
         params["final_norm"] = jnp.full_like(params["final_norm"], one)
+        if "embed_norm" in params:
+            params["embed_norm"] = jnp.full_like(params["embed_norm"], one)
         return params
 
     # ------------------------------------------------------------ forward
@@ -808,6 +820,9 @@ class DecoderModel:
             h = emb[tok_ids]  # [T, D] ([Ts, D] under sp)
         if a.normalize_embedding:
             h = (h.astype(jnp.float32) * math.sqrt(a.hidden_size)).astype(h.dtype)
+        if a.embedding_norm:
+            # bloom word_embeddings_layernorm (pre-decoder-stack norm)
+            h = self._norm(h, params["embed_norm"], params.get("embed_norm_bias"))
         if a.pos_embedding_type == "learned":
             h = h + params["embed_positions"][pos_ids]
 

@@ -86,6 +86,11 @@ FAMILIES = {
              attn_config={"alibi": True, "clip_qkv": 6.0},
              tie_word_embeddings=True),
     ),
+    "bloom": (
+        "BloomConfig", "BloomForCausalLM",
+        dict(vocab_size=128, hidden_size=64, n_layer=2, n_head=4,
+             layer_norm_epsilon=1e-5, tie_word_embeddings=True),
+    ),
     "mistral": (
         "MistralConfig", "MistralForCausalLM",
         dict(vocab_size=128, hidden_size=64, intermediate_size=128,
