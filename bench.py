@@ -65,6 +65,9 @@ def build_model(preset: str):
                 quant_method="gptq", bits=4, group_size=128,
                 quantize_lm_head=_os.environ.get("BENCH_LM_HEAD", "") or True,
             ),
+            # BENCH_KV=int8: quantized KV cache A/B (halves KV bytes; the
+            # attention kernel dequantizes per page with kv_scale).
+            kv_cache_dtype=_os.environ.get("BENCH_KV", "auto"),
         )
     elif preset == "tinyllama-1.1b":
         args = ModelArgs(
@@ -209,12 +212,46 @@ def preflight_bytes(model, batch: int, steps: int, ctx: int,
     num_pages = 1 + batch * pages_per_seq
     shape = model.kv_cache_shape(num_pages, page_size)
     kv_itemsize = 2 if model.args.dtype in ("bfloat16", "float16") else 4
+    if getattr(model, "kv_quant", False):
+        kv_itemsize = 1
     kv = int(np.prod(shape)) * kv_itemsize
     return resident_bytes(model) + kv
 
 
+def zero_params(model):
+    """Zero weights in the exact runtime layout (tokens meaningless, step
+    timing identical — quantized values don't affect the memory path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from scalellm_tpu.ops.quant_matmul import scales_np_dtype
+
+    a = model.args
+
+    def zero_leaf(path, shape):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if name in ("qweight", "zeros"):
+            return jnp.zeros(shape, jnp.int8)
+        if name == "scales":
+            # Must match the production loader's dtype (bf16 for the
+            # internal quantizer): scales dtype selects the kernel's
+            # k-tile alignment and halves the scale stream.
+            return jnp.zeros(shape, jnp.dtype(scales_np_dtype()))
+        if name == "kv_scales":
+            return jnp.full(shape, a.kv_scale, jnp.float32)
+        dt = jnp.bfloat16 if a.dtype == "bfloat16" else jnp.float32
+        return jnp.zeros(shape, dt)
+
+    paths_leaves, treedef = jax.tree_util.tree_flatten_with_path(
+        model.param_shapes(), is_leaf=lambda x: isinstance(x, tuple)
+    )
+    return jax.tree_util.tree_unflatten(
+        treedef, [zero_leaf(p, sh) for p, sh in paths_leaves]
+    )
+
+
 def run_decode_bench(preset: str, batch: int, steps: int, page_size: int = 16,
-                     model=None):
+                     model=None, ctx: int = 0):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -230,37 +267,20 @@ def run_decode_bench(preset: str, batch: int, steps: int, page_size: int = 16,
         # 8B random init costs minutes over the tunnel; zero weights time
         # identically (quantized values don't affect the memory path).
         # Zero weights: tokens are meaningless but per-step timing identical.
-        from scalellm_tpu.ops.quant_matmul import scales_np_dtype
-
-        def zero_leaf(path, shape):
-            name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
-            if name in ("qweight", "zeros"):
-                return jnp.zeros(shape, jnp.int8)
-            if name == "scales":
-                # Must match the production loader's dtype (bf16 for the
-                # internal quantizer): scales dtype selects the kernel's
-                # k-tile alignment and halves the scale stream.
-                return jnp.zeros(shape, jnp.dtype(scales_np_dtype()))
-            dt = jnp.bfloat16 if a.dtype == "bfloat16" else jnp.float32
-            return jnp.zeros(shape, dt)
-
-        paths_leaves, treedef = jax.tree_util.tree_flatten_with_path(
-            model.param_shapes(), is_leaf=lambda x: isinstance(x, tuple)
-        )
-        params = jax.tree_util.tree_unflatten(
-            treedef, [zero_leaf(p, sh) for p, sh in paths_leaves]
-        )
+        params = zero_params(model)
     else:
         key = jax.random.PRNGKey(0)
         params = model.init_params(key)
 
     # One sequence per batch lane, each with a 128-token prefilled context
-    # (BENCH_CTX overrides for KV-bandwidth-sensitivity sweeps).
-    ctx = int(os.environ.get("BENCH_CTX", 0)) or 128
+    # (BENCH_CTX / the ctx arg override for KV-depth sweeps).
+    ctx = ctx or int(os.environ.get("BENCH_CTX", 0)) or 128
     pages_per_seq = (ctx + 1 + steps + page_size - 1) // page_size + 1
     num_pages = 1 + batch * pages_per_seq  # page 0 reserved
     shape = model.kv_cache_shape(num_pages, page_size)
     dtype = jnp.bfloat16 if a.dtype == "bfloat16" else jnp.float32
+    if getattr(model, "kv_quant", False):
+        dtype = jnp.int8  # int8 KV cache (kv_cache_dtype="int8")
     kv_cache = jnp.zeros(shape, dtype)
 
     block_tables = np.zeros((batch, pages_per_seq), np.int32)
@@ -335,8 +355,13 @@ def run_prefill_bench(preset: str, T: int = 2048, page_size: int = 16):
     from scalellm_tpu.engine.params import ModelInputs
 
     model = build_model(preset)
-    key = jax.random.PRNGKey(0)
-    params = model.init_params(key)
+    if os.environ.get("BENCH_FAST_INIT") or preset in (
+        "llama31-8b-int4", "deepseek-v2-lite",
+    ):
+        params = zero_params(model)
+    else:
+        key = jax.random.PRNGKey(0)
+        params = model.init_params(key)
     n_pages = T // page_size + 2
     kv_cache = jnp.zeros(
         model.kv_cache_shape(n_pages, page_size),
@@ -439,6 +464,50 @@ def child_main(preset: str) -> None:
             "unit": "tokens/s",
             "ttft_s": round(pre_dt, 4),
         })
+
+    if preset == "llama31-8b-int4" and not os.environ.get("BENCH_QUICK"):
+        # Long context (VERDICT r4 weak #8): decode b=1 at deep KV +
+        # prefill TTFT at T=8k; regression-guards the round-3 attention
+        # VMEM fix. Then the int8-KV A/B at the same depth (VERDICT #7):
+        # halved KV bytes should show exactly where KV reads matter.
+        for lc in (8192, 16384):
+            if preflight_bytes(model, 1, steps, lc) > HBM_BUDGET_BYTES:
+                _emit({"metric": f"decode_tokens_per_s_{preset}_b1_ctx{lc}",
+                       "skipped": "preflight over HBM budget"})
+                continue
+            tps, model = run_decode_bench(preset, 1, steps, model=model,
+                                          ctx=lc)
+            _emit({
+                "metric": f"decode_tokens_per_s_{preset}_b1_ctx{lc}",
+                "value": round(tps, 2),
+                "unit": "tokens/s",
+            })
+        try:
+            pre_tps, pre_dt = run_prefill_bench(preset, T=8192)
+            _emit({
+                "metric": f"prefill_tokens_per_s_{preset}_T8192",
+                "value": round(pre_tps, 1),
+                "unit": "tokens/s",
+                "ttft_s": round(pre_dt, 4),
+            })
+        except Exception as e:
+            _emit({"metric": f"prefill_{preset}_T8192", "error": str(e)})
+        os.environ["BENCH_KV"] = "int8"
+        try:
+            kv_model = build_model(preset)
+            for lc in (128, 8192):
+                tps, kv_model = run_decode_bench(
+                    preset, 1, steps, model=kv_model, ctx=lc
+                )
+                _emit({
+                    "metric": f"decode_tokens_per_s_{preset}-kvint8_b1_ctx{lc}",
+                    "value": round(tps, 2),
+                    "unit": "tokens/s",
+                })
+        except Exception as e:
+            _emit({"metric": f"decode_{preset}-kvint8", "error": str(e)})
+        finally:
+            os.environ.pop("BENCH_KV", None)
 
 
 def _run_child(preset: str, timeout_s: int = 2700) -> list:

@@ -1025,6 +1025,8 @@ def _stream_kernel(
     total = n_m * n_n * n_k
     base = lr_ref[0] * n_n
 
+    probe = _env_int("QUANT_STREAM_ONLY", 0)
+
     def copies(lin2, slot):
         n2 = (lin2 // n_k) % n_n
         k2 = lin2 % n_k
@@ -1034,12 +1036,15 @@ def _stream_kernel(
                 qw_buf.at[slot],
                 sem_q.at[slot],
             ),
-            pltpu.make_async_copy(
-                sc_hbm.at[base + n2, pl.ds(k2 * g_rows, g_rows), :],
-                sc_buf.at[slot],
-                sem_s.at[slot],
-            ),
         ]
+        if probe != 2:  # QUANT_STREAM_ONLY=2: weights-only DMA probe
+            cp.append(
+                pltpu.make_async_copy(
+                    sc_hbm.at[base + n2, pl.ds(k2 * g_rows, g_rows), :],
+                    sc_buf.at[slot],
+                    sem_s.at[slot],
+                )
+            )
         if zp_hbm is not None:
             cp.append(
                 pltpu.make_async_copy(
