@@ -117,7 +117,13 @@ def build_model(preset: str):
 
         args.quant_args = QuantArgs(quant_method="internal", bits=4,
                                     group_size=128)
-        return MLADecoderModel(args, ParallelConfig())
+        mla_attn = None
+        if _os.environ.get("BENCH_SKIP_ATTN"):
+            # Identity MLA attention (perf decomposition): output shape
+            # [T, H, v_dim] taken straight from the query latents.
+            def mla_attn(q, kvc, *a_, v_dim=None, **k_):
+                return q[..., :v_dim]
+        return MLADecoderModel(args, ParallelConfig(), mla_attn)
     elif preset == "tiny":  # CPU smoke test
         args = ModelArgs(
             model_type="llama",
@@ -401,11 +407,24 @@ def _emit(obj) -> None:
     print(json.dumps(obj), flush=True)
 
 
+def _honor_platform_env():
+    """sitecustomize force-registers the axon TPU plugin programmatically;
+    the JAX_PLATFORMS env var alone does NOT select CPU (CLAUDE.md) — it
+    must be applied via jax.config."""
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
+
 def child_main(preset: str) -> None:
     """Run every measurement for ONE preset; each metric is a flushed
     JSON line on stdout. Pre-flight memory math skips configs that cannot
     fit the chip instead of dying with RESOURCE_EXHAUSTED."""
     import jax
+
+    _honor_platform_env()
 
     from scalellm_tpu.utils.compile_cache import enable_compilation_cache
 
@@ -440,6 +459,7 @@ def child_main(preset: str) -> None:
                        f"({need / 1e9:.1f} GB over budget at b={max(PRESET_BATCHES[preset])})",
         })
 
+    b1_value = None
     for batch in batches:
         toks_per_s, model = run_decode_bench(preset, batch, steps, model=model)
         result = {
@@ -448,6 +468,7 @@ def child_main(preset: str) -> None:
             "unit": "tokens/s",
         }
         if batch == 1:
+            b1_value = toks_per_s
             hbm_bw = 819e9 if on_tpu else 50e9
             result["vs_baseline"] = round(
                 toks_per_s / (hbm_bw / param_bytes(model)), 4
@@ -455,6 +476,30 @@ def child_main(preset: str) -> None:
         if preset == "deepseek-v2-lite":
             result["layers"] = model.args.n_layers
         _emit(result)
+
+    if (preset == "llama31-8b-int4" and on_tpu and b1_value
+            and os.environ.get("BENCH_DMA_PROBE", "1") != "0"):
+        # Machine-ceiling probe (DMA_CEILING.md): the same stream kernel
+        # with its compute body removed — same tiles, same DMAs, zero
+        # matmuls. headline/ceiling says how much of the MACHINE's
+        # sustained bandwidth the production kernel captures; vs_baseline
+        # stays pinned to the 819 GB/s spec roofline for continuity.
+        os.environ["QUANT_STREAM_ONLY"] = "1"
+        try:
+            ceil_tps, _ = run_decode_bench(preset, 1, steps, model=model)
+            _emit({
+                "metric": f"dma_ceiling_tokens_per_s_{preset}_b1",
+                "value": round(ceil_tps, 2),
+                "unit": "tokens/s",
+                "headline_fraction_of_ceiling": round(b1_value / ceil_tps, 4),
+                "note": "stream-only probe: structural ceiling at the "
+                        "machine's measured ~700 GB/s sustained HBM read "
+                        "(DMA_CEILING.md; 819 GB/s spec is not sustainable)",
+            })
+        except Exception as e:
+            _emit({"metric": f"dma_ceiling_{preset}", "error": str(e)})
+        finally:
+            os.environ.pop("QUANT_STREAM_ONLY", None)
 
     if preset == "tinyllama-1.1b" and not os.environ.get("BENCH_QUICK"):
         pre_tps, pre_dt = run_prefill_bench(preset)
@@ -703,6 +748,7 @@ def main():
 
     import jax
 
+    _honor_platform_env()
     platform = jax.devices()[0].platform
     on_tpu = platform == "tpu"
     presets = (

@@ -47,6 +47,13 @@ def _on_tpu() -> bool:
         return False
 
 
+def row_align(quantized: bool, total_rows: int) -> int:
+    """Row-tile alignment for the token-expert dispatch: the quantized
+    decode kernel needs only 8 (sublane) alignment; everything routed to
+    megablox gmm needs 128-row tiles."""
+    return 8 if quantized and total_rows <= 256 else 128
+
+
 def _grouped_matmul(xs: jnp.ndarray, w, group_sizes: jnp.ndarray):
     """xs [T', K] sorted by expert; w [E, K, N] (or a quantized dict
     {"qweight" int8 [E,K,N], "scales" [E,N]} — see ops/moe_quant.py);
@@ -270,12 +277,18 @@ def moe_mlp(
         in_range = (local >= 0) & (local < E_local)
         flat_e = jnp.where(in_range, local, E_local)
         flat_w = jnp.where(in_range, flat_w, 0.0)
-    # Pad the (token, slot) rows to the grouped-matmul's row tile (megablox
-    # requires multiples of 128); padding routes to the overflow group
-    # (expert id E_local) so it sorts last and stays uncovered.
+    # Pad the (token, slot) rows to the grouped-matmul's row tile: megablox
+    # requires multiples of 128, but the QUANTIZED decode kernel
+    # (ops/moe_quant.py, taken when rows ≤ 256) only needs sublane
+    # alignment — padding a 6-row b=1 decode to 128 made every expert dot
+    # 21× wider than needed and turned the routed path compute-bound
+    # (measured 104.5 µs/layer vs its 38 µs DMA floor on V2-Lite).
+    # Padding routes to the overflow group (expert id E_local) so it
+    # sorts last and stays uncovered.
     total = flat_e.shape[0]
-    if _on_tpu() and total % 128 != 0:
-        pad = 128 - total % 128
+    align = row_align(isinstance(gate_w, dict), total)
+    if _on_tpu() and total % align != 0:
+        pad = align - total % align
         flat_e = jnp.concatenate(
             [flat_e, jnp.full((pad,), E_local, flat_e.dtype)]
         )

@@ -623,6 +623,12 @@ class MLADecoderModel:
         return topk_w, topk_e
 
     def _moe_ffn(self, lp, x, expert_stream=None, li=None, stream=None):
+        import os as _os
+
+        # Perf-decomposition ablations (BENCH_ABLATE, trace-time only):
+        # "routed" skips the routed-expert matmuls, "shared" the shared
+        # experts — same discipline as bench.py's BENCH_ABLATE=logits.
+        _ablate = _os.environ.get("BENCH_ABLATE", "")
         a = self.args
         topk_w, topk_e = self._router(x, lp["router"])
         T = x.shape[0]
@@ -645,11 +651,17 @@ class MLADecoderModel:
             in_range = (local >= 0) & (local < E_local)
             flat_e = jnp.where(in_range, local, E_local)
             flat_w = jnp.where(in_range, flat_w, 0.0)
-        # Row-tile padding for megablox (see layers/moe.py): padding routes
-        # to the overflow group E_local and stays uncovered.
+        # Row-tile padding (see layers/moe.py row_align): 128 for megablox,
+        # but only 8 for the quantized decode kernel — padding b=1's six
+        # rows to 128 made every expert dot 21× wider than needed (the
+        # routed path measured 104.5 µs/layer vs its 38 µs DMA floor).
+        # Padding routes to the overflow group E_local and stays uncovered.
+        from scalellm_tpu.layers.moe import row_align
+
         total = flat_e.shape[0]
-        if _on_tpu() and total % 128 != 0:
-            pad = 128 - total % 128
+        align = row_align(expert_stream is not None, total)
+        if _on_tpu() and total % align != 0:
+            pad = align - total % align
             flat_e = jnp.concatenate([flat_e, jnp.full((pad,), E_local, flat_e.dtype)])
             flat_w = jnp.concatenate([flat_w, jnp.zeros((pad,), flat_w.dtype)])
         order = jnp.argsort(flat_e)
@@ -657,12 +669,19 @@ class MLADecoderModel:
         xs = x[token_of]
         group_sizes = jnp.bincount(flat_e, length=E_local).astype(jnp.int32)
 
-        if expert_stream is not None:
+        if "routed" in _ablate:
+            y = jnp.zeros((xs.shape[0], a.hidden_size), jnp.float32)
+        elif expert_stream is not None:
             from scalellm_tpu.ops.moe_quant import grouped_quant_matmul
+
+            # T tokens route to at most T*top_k distinct experts: cap the
+            # decode kernel's expert grid (b=1 top-6 → 6 cells, not E=64).
+            cap = min(int(E_local), T * k)
 
             def gm(rows, name):
                 return grouped_quant_matmul(
-                    rows, expert_stream[name], group_sizes, layer=li
+                    rows, expert_stream[name], group_sizes, layer=li,
+                    max_active=cap,
                 )
 
             g = gm(xs, "moe_gate")
@@ -687,7 +706,9 @@ class MLADecoderModel:
         # bf16 scan param (alignment-gated: e.g. V2-Lite's shared_down has
         # K=2816 whose scale rows can't sublane-align — see _can_quant).
         stream = stream or {}
-        if "shared_gate_proj" in stream or "shared_gate_proj" in lp:
+        if "shared" in _ablate:
+            pass
+        elif "shared_gate_proj" in stream or "shared_gate_proj" in lp:
             Fs = a.moe_intermediate_size * a.n_shared_experts
 
             def shproj(name, inp, n):

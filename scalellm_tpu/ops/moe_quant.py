@@ -206,15 +206,23 @@ def _decode_kernel(
         o_ref[:] += jnp.where(in_grp, dots, 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "max_active"))
 def _decode_grouped_quant_matmul(xs, qw, scales, group_sizes, layer=None,
-                                 interpret: bool = False):
+                                 interpret: bool = False,
+                                 max_active: int = 0):
     Tp, K = xs.shape
     stacked = qw.ndim == 4
     E, Kw, N = qw.shape[-3:]
     bits = 4 if Kw * 2 == K else 8
     assert K == (Kw * 2 if bits == 4 else Kw)
-    active = jnp.nonzero(group_sizes > 0, size=E, fill_value=-1)[0]
+    # Grid = number of experts that CAN be active, not E: a decode batch of
+    # T tokens touches at most T*top_k distinct experts (the caller's
+    # max_active hint), so b=1 top-6 runs a 6-cell grid instead of 64 —
+    # the 58 skipped cells otherwise still pay grid/scalar overhead per
+    # kernel call, three calls per MoE layer (VERDICT r5: deepseek decode
+    # decomposition).
+    A = min(E, max_active) if max_active else E
+    active = jnp.nonzero(group_sizes > 0, size=A, fill_value=-1)[0]
     starts = (jnp.cumsum(group_sizes) - group_sizes).astype(jnp.int32)
     if stacked:
         scales = scales[layer]  # [E, ...] — tiny slice; weights stream in place
@@ -223,7 +231,7 @@ def _decode_grouped_quant_matmul(xs, qw, scales, group_sizes, layer=None,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(E,),
+        grid=(A,),
         in_specs=[
             pl.BlockSpec((Tp, K), lambda i, *_: (0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -257,7 +265,8 @@ def _decode_grouped_quant_matmul(xs, qw, scales, group_sizes, layer=None,
 
 
 def grouped_quant_matmul(xs, w: dict, group_sizes, *, layer=None,
-                         backend=None, interpret: bool = False):
+                         backend=None, interpret: bool = False,
+                         max_active: int = 0):
     """xs [Tp, K] expert-sorted rows; w {"qweight" int8 [E,K,N] or
     layer-stacked [L,E,K,N] (pass `layer`), "scales" [E,N] / [L,E,N]};
     → [Tp, N] f32, already dequantized (scales folded in)."""
@@ -289,7 +298,8 @@ def grouped_quant_matmul(xs, w: dict, group_sizes, *, layer=None,
     )
     if Tp <= 256 and decode_vmem <= 12 * 1024 * 1024:
         return _decode_grouped_quant_matmul(
-            xs, qw, scales, group_sizes, layer=layer, interpret=interpret
+            xs, qw, scales, group_sizes, layer=layer, interpret=interpret,
+            max_active=max_active,
         )
     if backend != "tpu":
         # interpret-mode caller that fell through the decode-size gate: the

@@ -932,11 +932,15 @@ def quant_matmul(
             fuse_rms=fuse_rms,
             eps=rms_eps,
         )
+        split = max(1, _env_int("QUANT_STREAM_SPLIT", 1))
+        sem_q_shape = (
+            (depth, split) if split > 1 and qk_rows % split == 0 else (depth,)
+        )
         scratch = [
             pltpu.VMEM((block_m, block_n), jnp.float32),  # acc
             pltpu.VMEM((depth, qk_rows, block_n), jnp.int8),  # qw ring
             pltpu.VMEM((depth, g_rows, block_n), scales.dtype),
-            pltpu.SemaphoreType.DMA((depth,)),
+            pltpu.SemaphoreType.DMA(sem_q_shape),
             pltpu.SemaphoreType.DMA((depth,)),
         ]
         if not symmetric:
@@ -1026,17 +1030,36 @@ def _stream_kernel(
     base = lr_ref[0] * n_n
 
     probe = _env_int("QUANT_STREAM_ONLY", 0)
+    # Split each weight-tile copy into `split` row-range sub-copies on
+    # separate semaphores: concurrent sub-copies can engage more DMA
+    # queues than one large copy (probe: QUANT_STREAM_SPLIT).
+    split = max(1, _env_int("QUANT_STREAM_SPLIT", 1))
+    rows_half = qk_rows // split if qk_rows % split == 0 else qk_rows
 
     def copies(lin2, slot):
         n2 = (lin2 // n_k) % n_n
         k2 = lin2 % n_k
-        cp = [
-            pltpu.make_async_copy(
-                qw_hbm.at[base + n2, pl.ds(k2 * qk_rows, qk_rows), :],
-                qw_buf.at[slot],
-                sem_q.at[slot],
-            ),
-        ]
+        if rows_half != qk_rows:
+            cp = [
+                pltpu.make_async_copy(
+                    qw_hbm.at[
+                        base + n2,
+                        pl.ds(k2 * qk_rows + h * rows_half, rows_half),
+                        :,
+                    ],
+                    qw_buf.at[slot, pl.ds(h * rows_half, rows_half), :],
+                    sem_q.at[slot, h],
+                )
+                for h in range(split)
+            ]
+        else:
+            cp = [
+                pltpu.make_async_copy(
+                    qw_hbm.at[base + n2, pl.ds(k2 * qk_rows, qk_rows), :],
+                    qw_buf.at[slot],
+                    sem_q.at[slot],
+                ),
+            ]
         if probe != 2:  # QUANT_STREAM_ONLY=2: weights-only DMA probe
             cp.append(
                 pltpu.make_async_copy(
