@@ -473,6 +473,13 @@ def child_main(preset: str) -> None:
             result["vs_baseline"] = round(
                 toks_per_s / (hbm_bw / param_bytes(model)), 4
             )
+            if on_tpu:
+                # vs the MEASURED sustained HBM read (~700 GB/s,
+                # DMA_CEILING.md) — the spec 819 GB/s is not sustainable;
+                # vs_baseline keeps the spec denominator for continuity.
+                result["vs_machine_ceiling"] = round(
+                    toks_per_s / (700e9 / param_bytes(model)), 4
+                )
         if preset == "deepseek-v2-lite":
             result["layers"] = model.args.n_layers
         _emit(result)
@@ -674,6 +681,12 @@ def _serve_section(repo: str) -> None:
     serve_run(
         "tinyllama-1.1b", 48,
         extra=("--num-decode-steps", "4"), tag="_ms4",
+    )
+    # Prompt-lookup (n-gram) speculation on the prefix-shared serve mix
+    # (VERDICT r4 stretch #9: draft-free speculation, never serve-benched).
+    serve_run(
+        "tinyllama-1.1b", 48,
+        extra=("--num-speculative-tokens", "4"), tag="_ngram",
     )
     # BASELINE config 3: 8B-INT4 + prefix cache + chunked prefill,
     # plus the multi-step and async-pipelined-scheduler A/Bs. The batch

@@ -84,6 +84,16 @@ def main():
     rec("moe_int4_experts", run_variant(mixtral, ids, quantize="int4"),
         mbase)
 
+    # DeepSeek matrix (round 5): MLA + routed/shared experts + dense layer
+    # + attention projections + lm_head all quantized — covers the
+    # sub-128 group grids _pick_group selects for awkward K dims.
+    from tests.fixtures import trained_tiny_deepseek_cached
+
+    ds = trained_tiny_deepseek_cached()
+    dbase = rec("deepseek_float32", run_variant(ds, ids))
+    rec("deepseek_int8_full", run_variant(ds, ids, quantize="int8"), dbase)
+    rec("deepseek_int4_full", run_variant(ds, ids, quantize="int4"), dbase)
+
     out = {
         "harness": "benchmarks/accuracy_eval.py -> scalellm_tpu.eval.ppl "
                    "(strided window=256)",

@@ -48,6 +48,9 @@ def main():
     p.add_argument("--json-only", action="store_true")
     p.add_argument("--num-decode-steps", type=int, default=1,
                    help="decode micro-steps per dispatch (multi-step)")
+    p.add_argument("--num-speculative-tokens", type=int, default=0,
+                   help=">0 with no draft model: prompt-lookup (n-gram) "
+                        "speculation (speculative/ngram.py)")
     p.add_argument("--prerun", action="store_true", default=True,
                    help="run the mix once unmeasured (steady-state timing)")
     p.add_argument("--no-prerun", dest="prerun", action="store_false")
@@ -103,6 +106,7 @@ def main():
             warmup_mode=args.warmup_mode,
             enable_async_scheduling=args.async_sched,
             num_decode_steps=args.num_decode_steps,
+            num_speculative_tokens=args.num_speculative_tokens,
         )
     )
 
@@ -201,6 +205,12 @@ def main():
         "mid_serve_compiles": metrics.COUNTERS.get("num_mid_serve_compiles"),
         "engine_steps": metrics.COUNTERS.get("num_engine_steps"),
     }
+    if args.num_speculative_tokens > 0:
+        acc = metrics.COUNTERS.get("num_accepted_tokens_total") or 0
+        drf = metrics.COUNTERS.get("num_draft_tokens_total") or 0
+        result["ngram_accepted_fraction"] = (
+            round(acc / drf, 3) if drf else 0.0
+        )
     if args.num_decode_steps > 1:
         # Fast-path coverage: what fraction of engine dispatches took the
         # N-micro-step scan (batch.can_multi_step() gates it off for

@@ -177,16 +177,15 @@ class MLADecoderModel:
     # ------------------------------------------------------------ param spec
 
     def _quant_triple(self, L: int, K: int, N: int) -> Dict[str, Tuple]:
-        """Tiled g128 triple shapes (L, n_n, R, W) for a plain [K, N]
-        projection at moe_quant_bits (int4 packs two K rows per byte;
-        ops/quant_matmul.py tiled layout; N padded up to a tile multiple —
-        callers slice outputs back to N)."""
-        import math
-
+        """Tiled group-quant triple shapes (L, n_n, R, W) for a plain
+        [K, N] projection at moe_quant_bits (int4 packs two K rows per
+        byte; ops/quant_matmul.py tiled layout; N padded up to a tile
+        multiple — callers slice outputs back to N). Group size from
+        _pick_group (128 when K allows; smaller for awkward K)."""
         from scalellm_tpu.ops.quant_matmul import DEFAULT_TILE_N
 
-        G = math.gcd(K, 128)  # 128 for real dims; shrinks for tiny tests
-        assert self._can_quant(K), K
+        G = self._pick_group(K)
+        assert G, K
         pack = 2 if self.moe_quant_bits == 4 else 1
         W = min(DEFAULT_TILE_N, N)
         n_n = -(-N // W)
@@ -196,16 +195,43 @@ class MLADecoderModel:
             "zeros": (L, n_n, K // G, W),
         }
 
-    def _can_quant(self, K: int) -> bool:
-        """The layer-stacked stream path DMAs scale blocks [K/G, W] at
-        dynamic offsets — Mosaic requires the sublane extent be a multiple
-        of the dtype tiling (16 for bf16 scales). K dims whose K/G isn't
-        16-aligned (e.g. V2-Lite's shared_down K=2816 → 22 rows) stay
-        bf16."""
-        import math
+    def _pick_group(self, K: int):
+        """Largest group size whose scale blocks the layer-stacked stream
+        path can DMA AND whose K can be k-tiled: Mosaic needs the
+        [K/G, W] scale sublane extent 16-aligned for bf16 scales (or
+        8-aligned after quant_matmul's automatic f32-upcast, which
+        engages when K % (8G) == 0), and the activation block's lane
+        extent (block_k) must be a multiple of 128 that divides K while
+        keeping the weight tile inside the VMEM budget. V2-Lite examples:
+        K=2048 → 128; shared_down K=2816 → 32 (22 rows at g128 align
+        nowhere; at g32 block_k=2816 itself works on the f32 path);
+        dense_down K=10944 → None (2-adic valuation 6: no divisor is a
+        multiple of 128 — stays bf16). None = not quantizable."""
+        pack = 2 if self.moe_quant_bits == 4 else 1
+        for G in (128, 64, 32, 16, 8):
+            if K % G:
+                continue
+            rows = K // G
+            if rows % 16 == 0:
+                chunk = 16 * G  # bf16 scales tile directly
+            elif rows % 8 == 0 and K % (8 * G) == 0:
+                chunk = 8 * G  # f32-upcast path
+            else:
+                continue
+            # A usable block_k: multiple of both chunk and 128, divides K,
+            # weight tile ≤ the 4 MB VMEM budget at the default tile width.
+            import math
 
-        G = math.gcd(K, 128)
-        return K % G == 0 and (K // G) % 16 == 0
+            step = math.lcm(chunk, 128)
+            bk = (K // step) * step
+            while bk >= step:
+                if K % bk == 0 and (bk // pack) * 1024 <= 4 * 1024 * 1024:
+                    return G
+                bk -= step
+        return None
+
+    def _can_quant(self, K: int) -> bool:
+        return self._pick_group(K) is not None
 
     def _attn_shapes(self, L: int, quant: bool = False) -> Dict[str, Any]:
         a = self.args
@@ -214,7 +240,18 @@ class MLADecoderModel:
         shapes: Dict[str, Any] = {
             "input_norm": (L, D),
             "post_norm": (L, D),
-            "kv_a": (L, D, a.kv_lora_rank + r),
+            # kv_a stays bf16: its output width R+r (576 on every real
+            # deepseek) is not a 128-lane multiple, and Mosaic cannot
+            # DMA-slice 576 of the 640 padded lanes (measured: memref_slice
+            # lowering error). Only ~2.4 MB/layer — not worth a padded
+            # storage variant. Width gate below for hypothetical aligned
+            # configs.
+            "kv_a": (
+                self._quant_triple(L, D, a.kv_lora_rank + r)
+                if quant and self._can_quant(D)
+                and (a.kv_lora_rank + r) % 128 == 0
+                else (L, D, a.kv_lora_rank + r)
+            ),
             "kv_a_norm": (L, a.kv_lora_rank),
             "kv_b": (L, a.kv_lora_rank, H * (a.qk_nope_head_dim + a.v_head_dim)),
             # o_proj / q_proj: the two big plain matmuls — int8 when quant
@@ -246,10 +283,21 @@ class MLADecoderModel:
         D, V = a.hidden_size, a.vocab_size
         shapes: Dict[str, Any] = {"embed_tokens": (V, D), "final_norm": (D,)}
         if self.n_dense:
-            dense = self._attn_shapes(self.n_dense)
-            dense["gate_proj"] = (self.n_dense, D, a.intermediate_size)
-            dense["up_proj"] = (self.n_dense, D, a.intermediate_size)
-            dense["down_proj"] = (self.n_dense, a.intermediate_size, D)
+            # Dense stack: same quantization policy as the MoE stack —
+            # V2-Lite's single dense layer streamed 134 MB of bf16 FFN per
+            # step (~0.2 ms at the machine's 700 GB/s) before this.
+            dense = self._attn_shapes(self.n_dense, quant=self.proj_quant)
+            F = a.intermediate_size
+            if self.proj_quant and self._can_quant(D):
+                dense["gate_proj"] = self._quant_triple(self.n_dense, D, F)
+                dense["up_proj"] = self._quant_triple(self.n_dense, D, F)
+            else:
+                dense["gate_proj"] = (self.n_dense, D, F)
+                dense["up_proj"] = (self.n_dense, D, F)
+            if self.proj_quant and self._can_quant(F):
+                dense["down_proj"] = self._quant_triple(self.n_dense, F, D)
+            else:
+                dense["down_proj"] = (self.n_dense, F, D)
             shapes["dense_layers"] = dense
         if self.n_moe:
             L, E, Fm = self.n_moe, a.n_experts, a.moe_intermediate_size
@@ -257,6 +305,8 @@ class MLADecoderModel:
             moe["router"] = (L, D, E)
             if self.moe_quant and self.moe_quant_bits == 4:
                 G = a.quant_args.group_size or 128
+                while G > 8 and (D % G or Fm % G):
+                    G //= 2  # tiny test dims: shrink to a common divisor
                 assert D % G == 0 and Fm % G == 0, (D, Fm, G)
                 moe["moe_gate"] = {"qweight": (L, E, D // 2, Fm),
                                    "scales": (L, E, D // G, Fm)}
@@ -320,14 +370,15 @@ class MLADecoderModel:
             W = min(DEFAULT_TILE_N, triple["qweight"].shape[-1])
             return {k: tile_quant_layout(v, W) for k, v in triple.items()}
 
-        moe = params.get("moe_layers", {})
-        for name, node in list(moe.items()):
-            if (
-                isinstance(node, dict)
-                and "zeros" in node
-                and np.asarray(node["qweight"]).ndim == 3
-            ):
-                moe[name] = tile_triple(node)
+        for stack in ("moe_layers", "dense_layers"):
+            grp = params.get(stack, {})
+            for name, node in list(grp.items()):
+                if (
+                    isinstance(node, dict)
+                    and "zeros" in node
+                    and np.asarray(node["qweight"]).ndim == 3
+                ):
+                    grp[name] = tile_triple(node)
         lm = params.get("lm_head")
         if isinstance(lm, dict) and np.asarray(lm["qweight"]).ndim == 2:
             params["lm_head"] = tile_triple(lm)
@@ -374,10 +425,21 @@ class MLADecoderModel:
             "final_norm": P(None),
         }
         if self.n_dense:
-            dense = self._attn_specs(tp)
-            dense["gate_proj"] = P(None, None, tp)
-            dense["up_proj"] = P(None, None, tp)
-            dense["down_proj"] = P(None, tp, None)
+            dense = self._attn_specs(tp, quant=self.proj_quant)
+            rep4 = {"qweight": P(None, None, None, None),
+                    "scales": P(None, None, None, None),
+                    "zeros": P(None, None, None, None)}
+            F = a.intermediate_size
+            if self.proj_quant and self._can_quant(a.hidden_size):
+                dense["gate_proj"] = dict(rep4)
+                dense["up_proj"] = dict(rep4)
+            else:
+                dense["gate_proj"] = P(None, None, tp)
+                dense["up_proj"] = P(None, None, tp)
+            if self.proj_quant and self._can_quant(F):
+                dense["down_proj"] = dict(rep4)
+            else:
+                dense["down_proj"] = P(None, tp, None)
             specs["dense_layers"] = dense
         if self.n_moe:
             moe = self._attn_specs(tp, quant=self.proj_quant)
@@ -420,7 +482,7 @@ class MLADecoderModel:
                     moe["shared_down_proj"] = P(None, tp, None)
             specs["moe_layers"] = moe
         if not a.tie_word_embeddings:
-            if self.proj_quant and self._can_quant(D):
+            if self.proj_quant and self._can_quant(a.hidden_size):
                 specs["lm_head"] = {"qweight": P(None, None, None),
                                     "scales": P(None, None, None),
                                     "zeros": P(None, None, None)}
@@ -545,7 +607,12 @@ class MLADecoderModel:
         q = q.astype(h.dtype).reshape(T, H, qk)
         q_nope, q_pe = q[..., :nope], q[..., nope:]
 
-        ckv = jnp.dot(x, lp["kv_a"], preferred_element_type=jnp.float32).astype(h.dtype)
+        if "kv_a" in stream:
+            ckv = self._qmm(x, stream["kv_a"], li, R + r).astype(h.dtype)
+        else:
+            ckv = jnp.dot(
+                x, lp["kv_a"], preferred_element_type=jnp.float32
+            ).astype(h.dtype)
         c_kv, k_pe = ckv[:, : R], ckv[:, R:]
         c_kv = rms_norm(c_kv, lp["kv_a_norm"], a.rms_norm_eps)
 
@@ -734,15 +801,41 @@ class MLADecoderModel:
 
         tp_axis = self.parallel.tp_axis
 
+        # Dense-stack quantized projections pass whole via closure exactly
+        # like the MoE stack's (streaming at the layer offset; scan-slicing
+        # stacked quant arrays would copy every byte per layer).
+        dense_params = params.get("dense_layers")
+        dense_stream = {}
+        if self.n_dense and self.proj_quant:
+            dense_stream = {
+                k: v for k, v in dense_params.items()
+                if isinstance(v, dict) and "zeros" in v
+            }
+            dense_params = {
+                k: v for k, v in dense_params.items()
+                if k not in dense_stream
+            }
+
         def dense_layer(carry, xs):
             h = carry
-            lp, kvc = xs
-            h, kvc = self._attention(lp, h, mi, cos, sin, kvc, decode_only)
+            lp, kvc, li = xs
+            h, kvc = self._attention(
+                lp, h, mi, cos, sin, kvc, decode_only,
+                stream=dense_stream, li=li,
+            )
             x = rms_norm(h, lp["post_norm"], a.rms_norm_eps)
-            g = jnp.dot(x, lp["gate_proj"], preferred_element_type=jnp.float32)
-            u = jnp.dot(x, lp["up_proj"], preferred_element_type=jnp.float32)
+
+            def proj(name, inp, n):
+                if name in dense_stream:
+                    return self._qmm(inp, dense_stream[name], li, n)
+                return jnp.dot(
+                    inp, lp[name], preferred_element_type=jnp.float32
+                )
+
+            g = proj("gate_proj", x, a.intermediate_size)
+            u = proj("up_proj", x, a.intermediate_size)
             m = act_with_mul(a.hidden_act, g, u).astype(h.dtype)
-            m = jnp.dot(m, lp["down_proj"], preferred_element_type=jnp.float32)
+            m = proj("down_proj", m, a.hidden_size)
             if tp_axis is not None:
                 m = lax.psum(m, tp_axis)
             return h + m.astype(h.dtype), kvc
@@ -786,7 +879,9 @@ class MLADecoderModel:
         kv_out = []
         if nd:
             h, kv_dense = lax.scan(
-                dense_layer, h, (params["dense_layers"], kv_cache[:nd])
+                dense_layer, h,
+                (dense_params, kv_cache[:nd],
+                 jnp.arange(nd, dtype=jnp.int32)),
             )
             kv_out.append(kv_dense)
         if self.n_moe:

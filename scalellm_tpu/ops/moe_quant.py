@@ -122,23 +122,44 @@ def _decode_kernel(
     sizes_ref,  # i32[E] group size per EXPERT id
     xs_ref,  # [Tp, K] bf16 (VMEM)
     qw_hbm,  # int8 [E, K, N] or layer-stacked [L, E, K, N] (ANY)
-    sc_ref,  # f32 [E, N] (VMEM)
+    sc_ref,  # int8: f32 [E, N] VMEM block; int4: [(L,) E, n_g, N] HBM (ANY)
     o_ref,  # [Tp, N] f32
     w_bufs,  # VMEM [2, K, N] int8 (int4: [2, K//2, N] packed)
     sems,  # DMA [2]
-    *,
+    *rest,  # int4 streamed-scales mode: sc_bufs VMEM [2, n_g, N] + sem DMA
     stacked: bool,
     bits: int,
+    sc_stream: bool,
 ):
     i = pl.program_id(0)
     E = pl.num_programs(0)
     e = act_ref[i]
     valid = e >= 0
+    sc_bufs = sem_sc = None
+    if sc_stream:
+        sc_bufs, sem_sc = rest
 
     def src(expert):
         if stacked:  # layer-stacked: stream at the layer offset
             return qw_hbm.at[lr_ref[0], expert]
         return qw_hbm.at[expert]
+
+    def copies(expert, slot):
+        """Weight tile + (int4) the ACTIVE expert's scale rows only —
+        streaming the whole per-layer scale grid into VMEM (or slicing it
+        at the XLA level) costs ~2.9 MB × 3 matmuls × layer on V2-Lite;
+        the active rows are ~45 KB each."""
+        cp = [pltpu.make_async_copy(src(expert), w_bufs.at[slot],
+                                    sems.at[slot])]
+        if sc_stream:
+            sc_src = (
+                sc_ref.at[lr_ref[0], expert] if stacked
+                else sc_ref.at[expert]
+            )
+            cp.append(pltpu.make_async_copy(
+                sc_src, sc_bufs.at[slot], sem_sc.at[slot]
+            ))
+        return cp
 
     @pl.when(i == 0)
     def _():
@@ -152,9 +173,8 @@ def _decode_kernel(
         # expert; every started copy is then waited by its valid step.
         @pl.when(act_ref[0] >= 0)
         def _():
-            pltpu.make_async_copy(
-                src(jnp.maximum(act_ref[0], 0)), w_bufs.at[0], sems.at[0]
-            ).start()
+            for c in copies(jnp.maximum(act_ref[0], 0), 0):
+                c.start()
 
     @pl.when(valid)
     def _():
@@ -162,15 +182,12 @@ def _decode_kernel(
 
         @pl.when(jnp.logical_and(i + 1 < E, act_ref[nxt] >= 0))
         def _():
-            pltpu.make_async_copy(
-                src(act_ref[nxt]), w_bufs.at[(i + 1) % 2],
-                sems.at[(i + 1) % 2],
-            ).start()
+            for c in copies(act_ref[nxt], (i + 1) % 2):
+                c.start()
 
         slot = i % 2
-        pltpu.make_async_copy(
-            src(e), w_bufs.at[slot], sems.at[slot]
-        ).wait()
+        for c in copies(e, slot):
+            c.wait()
 
         if bits == 8:
             w = w_bufs[slot]  # int8 [K, N]; MXU consumes int8 in mixed dots
@@ -181,8 +198,15 @@ def _decode_kernel(
             sc = sc_ref[pl.ds(e, 1), :].astype(jnp.float32)  # [1, N]
             dots = dots * sc
         else:  # int4: per-(k-group, channel) grids, post-dot group scaling
+            # Per-group small dots, NOT dequant-then-one-dot: the full-tile
+            # dequant writes a [K, N] bf16 intermediate through VMEM and
+            # measured 33 µs/layer SLOWER on V2-Lite decode (198.9 vs
+            # 240.7 tok/s) than eating n_g small-dot launches.
             packed = w_bufs[slot]  # int8 [K//2, N]
-            sc = sc_ref[pl.ds(e, 1), :, :].astype(jnp.float32)  # [1, n_g, N]
+            if sc_stream:
+                sc = sc_bufs[slot].astype(jnp.float32)[None]  # [1, n_g, N]
+            else:
+                sc = sc_ref[pl.ds(e, 1), :, :].astype(jnp.float32)
             n_g = sc.shape[1]
             rows_g = packed.shape[0] // n_g  # G//2 packed rows per group
             G = rows_g * 2
@@ -224,10 +248,36 @@ def _decode_grouped_quant_matmul(xs, qw, scales, group_sizes, layer=None,
     A = min(E, max_active) if max_active else E
     active = jnp.nonzero(group_sizes > 0, size=A, fill_value=-1)[0]
     starts = (jnp.cumsum(group_sizes) - group_sizes).astype(jnp.int32)
-    if stacked:
-        scales = scales[layer]  # [E, ...] — tiny slice; weights stream in place
     lr = jnp.asarray(layer if layer is not None else 0, jnp.int32).reshape(1)
-    sc_block = scales.shape  # [E, N] (int8) / [E, n_g, N] (int4)
+    scratch = [
+        pltpu.VMEM((2, Kw, N), jnp.int8),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    # int4 grids are big ([E, K/G, N] ≈ 2.9 MB/layer on V2-Lite): an
+    # XLA scales[layer] slice per call costs ~0.3 ms/step across the
+    # stack, and a scalar-indexed BlockSpec serializes the pipeline
+    # (measured 240.7 → 185 tok/s). Stream ONLY the active experts'
+    # scale rows in-kernel — possible when the row count is 8-aligned
+    # (Mosaic DMA tiling); e.g. V2-Lite moe_gate/up n_g=16 stream,
+    # moe_down n_g=11 falls back to the VMEM-block path.
+    sc_stream = bits == 4 and scales.shape[-2] % 8 == 0
+    if sc_stream:
+        sc_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        n_g = scales.shape[-2]
+        scratch += [
+            pltpu.VMEM((2, n_g, N), scales.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+        sc_arg = scales
+    else:
+        # Whole per-layer grid as a VMEM block (int8 [E, N] is a few
+        # hundred KB; unaligned int4 grids have no other option).
+        if stacked:
+            scales = scales[layer]
+        sc_spec = pl.BlockSpec(
+            scales.shape, lambda i, *_: (0,) * scales.ndim
+        )
+        sc_arg = scales if bits == 4 else scales.astype(jnp.float32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -235,16 +285,14 @@ def _decode_grouped_quant_matmul(xs, qw, scales, group_sizes, layer=None,
         in_specs=[
             pl.BlockSpec((Tp, K), lambda i, *_: (0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(sc_block, lambda i, *_: (0,) * len(sc_block)),
+            sc_spec,
         ],
         out_specs=pl.BlockSpec((Tp, N), lambda i, *_: (0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((2, Kw, N), jnp.int8),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
     )
     return pl.pallas_call(
-        functools.partial(_decode_kernel, stacked=stacked, bits=bits),
+        functools.partial(_decode_kernel, stacked=stacked, bits=bits,
+                          sc_stream=sc_stream),
         out_shape=jax.ShapeDtypeStruct((Tp, N), jnp.float32),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
@@ -259,8 +307,7 @@ def _decode_grouped_quant_matmul(xs, qw, scales, group_sizes, layer=None,
         interpret=interpret,
     )(
         lr, active.astype(jnp.int32), starts, group_sizes.astype(jnp.int32),
-        xs.astype(jnp.bfloat16), qw,
-        scales if bits == 4 else scales.astype(jnp.float32),
+        xs.astype(jnp.bfloat16), qw, sc_arg,
     )
 
 
@@ -287,11 +334,18 @@ def grouped_quant_matmul(xs, w: dict, group_sizes, *, layer=None,
     # COMPILE time, and a failing remote compile is retried forever and
     # wedges the serving process (7a2c187 postmortem) — so size-check up
     # front and fall back to the gmm/dequant path instead.
-    n_scale = scales.size // (scales.shape[0] if qw.ndim == 4 else 1)
     bits = 4 if Kw * 2 == K else 8
+    if bits == 4 and scales.shape[-2] % 8 == 0:
+        # int4 scale rows are streamed per active expert (2-deep ring)
+        n_scale = 2 * scales.shape[-2] * N
+    elif bits == 4:
+        # unaligned row count: whole per-layer grid as a VMEM block
+        n_scale = E * scales.shape[-2] * N
+    else:
+        # int8: the whole f32 [E, N] grid sits in VMEM
+        n_scale = E * N
     decode_vmem = (
         2 * Kw * N  # int8 weight ring
-        # int4 scales keep their stored dtype; int8 scales are cast to f32
         + n_scale * (scales.dtype.itemsize if bits == 4 else 4)
         + Tp * K * 2  # bf16 activations
         + Tp * N * 4  # f32 output

@@ -613,7 +613,13 @@ def _default_backend() -> str:
 
 def _shrink_block_k(block_k: int, K: int, chunk: int) -> int:
     """Largest multiple of `chunk` that divides K and is <= block_k
-    (falls back to K when K itself isn't chunk-aligned)."""
+    (falls back to K when K itself isn't alignable). A partial k-tile is
+    also an x-block LANE extent, so Mosaic additionally requires it be a
+    multiple of 128 (a 1216-wide block for K=10944 is rejected at
+    lowering); only the full-K block escapes that rule."""
+    import math
+
+    chunk = math.lcm(chunk, 128)
     if K % chunk == 0 and K > chunk:
         bk = (min(block_k, K) // chunk) * chunk
         while bk > chunk and K % bk != 0:
@@ -752,6 +758,12 @@ def quant_matmul(
         # is a 2MB weight tile — inside the VMEM cap).
         block_k = K
     block_k = _shrink_block_k(min(block_k, max_bk), K, chunk)
+    if block_k < 1024 and block_k < K <= max_bk:
+        # Awkward K (e.g. 2816 = 11×256): shrinking to the largest aligned
+        # divisor leaves many tiny k-tiles, each a grid launch + small DMA.
+        # The full-K block is always legal (block == array dim) and fits
+        # the VMEM budget here — one launch, one big DMA.
+        block_k = K
     if block_k > max_bk and not tiled:
         # _shrink_block_k's K-not-chunk-aligned fallback returns full K
         # (the only k-extent that satisfies the sublane rule when K/G is

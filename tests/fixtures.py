@@ -164,3 +164,70 @@ def trained_tiny_mixtral_cached() -> str:
 
     d = os.path.join(tempfile.gettempdir(), "scalellm_trained_mixtral_v1")
     return make_trained_tiny_mixtral(d)
+
+
+def make_trained_tiny_deepseek(dirpath: str, steps: int = 250,
+                               seed: int = 0) -> str:
+    """A tiny char-level DEEPSEEK-V2 (MLA + 4 routed experts + 1 shared +
+    1 dense layer) trained on the corpus: measurable ppl deltas for the
+    full deepseek quantization matrix — routed experts (moe_quant),
+    shared/dense/attention projections and lm_head (quant_matmul tiled
+    streams, including the sub-128 group grids picked by _pick_group)."""
+    if os.path.exists(os.path.join(dirpath, "config.json")):
+        return dirpath
+    import torch
+    from transformers import DeepseekV2Config, DeepseekV2ForCausalLM
+
+    torch.manual_seed(seed)
+    corpus_path = os.path.join(os.path.dirname(__file__), "data", "corpus.txt")
+    with open(corpus_path, "rb") as f:
+        data = f.read()
+    ids = torch.tensor([min(b, 255) for b in data], dtype=torch.long)
+
+    cfg = DeepseekV2Config(
+        vocab_size=256,
+        hidden_size=128,
+        intermediate_size=192,
+        num_hidden_layers=3,
+        num_attention_heads=4,
+        num_key_value_heads=4,
+        max_position_embeddings=512,
+        q_lora_rank=None,
+        kv_lora_rank=32,
+        qk_nope_head_dim=16,
+        qk_rope_head_dim=8,
+        v_head_dim=16,
+        first_k_dense_replace=1,
+        n_routed_experts=4,
+        num_experts_per_tok=2,
+        moe_intermediate_size=64,
+        n_shared_experts=1,
+        topk_method="greedy",
+        routed_scaling_factor=1.0,
+        norm_topk_prob=False,
+        tie_word_embeddings=False,
+    )
+    model = DeepseekV2ForCausalLM(cfg).to(torch.float32)
+    opt = torch.optim.Adam(model.parameters(), lr=1e-3)
+    g = torch.Generator().manual_seed(seed)
+    T, B = 128, 16
+    model.train()
+    for _ in range(steps):
+        starts = torch.randint(0, len(ids) - T - 1, (B,), generator=g)
+        batch = torch.stack([ids[s : s + T] for s in starts])
+        loss = model(input_ids=batch, labels=batch).loss
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+    model.eval()
+    os.makedirs(dirpath, exist_ok=True)
+    model.save_pretrained(dirpath, safe_serialization=True)
+    save_char_tokenizer(dirpath)
+    return dirpath
+
+
+def trained_tiny_deepseek_cached() -> str:
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), "scalellm_trained_deepseek_v1")
+    return make_trained_tiny_deepseek(d)
