@@ -777,7 +777,9 @@ def main():
     try:
         for preset in presets:
             for d in _run_child(preset):
-                is_b1 = d.get("metric", "").endswith("_b1") and "value" in d
+                m = d.get("metric", "")
+                is_b1 = (m.startswith("decode_tokens_per_s")
+                         and m.endswith("_b1") and "value" in d)
                 if is_b1 and (headline is None
                               or preset == "llama31-8b-int4"):
                     headline = d
