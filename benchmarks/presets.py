@@ -19,6 +19,11 @@ _INT8_QCFG = dict(
     quant_method="gptq", bits=8, group_size=128, sym=True,
     zero_point=False, desc_act=False,
 )
+# Gemma2 K dims (3584 / 2304) give unalignable scale-row counts at g128
+# (28 / 18 rows — the layer-stacked stream DMA needs 8-aligned rows);
+# these group sizes keep every projection on the fast stream path.
+_INT8_G64_QCFG = {**_INT8_QCFG, "group_size": 64}
+_INT8_G32_QCFG = {**_INT8_QCFG, "group_size": 32}
 _INT4_QCFG = dict(
     quant_method="gptq", bits=4, group_size=128, sym=True,
     zero_point=False, desc_act=False,
@@ -56,7 +61,7 @@ PRESETS = {
         rms_norm_eps=1e-6, query_pre_attn_scalar=224, sliding_window=4096,
         attn_logit_softcapping=50.0, final_logit_softcapping=30.0,
         hidden_act="gelu_pytorch_tanh", tie_word_embeddings=True,
-        quantization_config=_INT8_QCFG,
+        quantization_config=_INT8_G64_QCFG,
     ),
     # Draft for config 4 on ONE 16 GB chip: int8 quantization keeps
     # target(10.1 GB int8) + draft under HBM (bf16 draft would need 5.2 GB
@@ -69,7 +74,7 @@ PRESETS = {
         rms_norm_eps=1e-6, query_pre_attn_scalar=256, sliding_window=4096,
         attn_logit_softcapping=50.0, final_logit_softcapping=30.0,
         hidden_act="gelu_pytorch_tanh", tie_word_embeddings=True,
-        quantization_config=_INT8_QCFG,
+        quantization_config=_INT8_G32_QCFG,
     ),
     # Draft for config 4: gemma2-2b-shaped (shared tokenizer/vocab with the
     # 9B target — the spec sampler needs one vocab space).

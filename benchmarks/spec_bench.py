@@ -50,6 +50,7 @@ def run(model_dir, draft_dir, k, steps, num_blocks=256, prompt=None):
     n = out.usage.num_generated_tokens if out.usage else steps
     acc = (COUNTERS.get("num_accepted_tokens_total") or 0) - a0
     drf = (COUNTERS.get("num_draft_tokens_total") or 0) - d0
+    llm.close()  # actually free device buffers (9B + draft share one chip)
     del llm
     rate = acc / drf if drf else None
     return n / dt, rate
@@ -103,6 +104,8 @@ def main():
                         "keeps the 9B+2B pair inside HBM)")
     p.add_argument("--trained", action="store_true",
                    help="trained char-llama target+draft: REAL acceptance")
+    p.add_argument("--phase", choices=["plain", "spec"], default=None,
+                   help=argparse.SUPPRESS)  # internal: subprocess phases
     args = p.parse_args()
 
     if args.trained:
@@ -115,8 +118,41 @@ def main():
     tdir = make_preset_dir(args.target)
     ddir = make_preset_dir(args.draft)
 
-    plain, _ = run(tdir, None, 0, args.steps, num_blocks=args.num_blocks)
-    spec, _ = run(tdir, ddir, args.k, args.steps, num_blocks=args.num_blocks)
+    if args.phase in ("plain", "spec"):
+        # Child phase: one engine per PROCESS — the 9B target + draft pair
+        # barely fits one 16 GB chip, and a same-process sequential run
+        # OOMs (the first engine's buffers outlive close() via jit-cache /
+        # cycle references). Process exit is the only guaranteed free;
+        # the on-disk compile cache keeps the second phase warm.
+        if args.phase == "plain":
+            tps, _ = run(tdir, None, 0, args.steps,
+                         num_blocks=args.num_blocks)
+        else:
+            tps, _ = run(tdir, ddir, args.k, args.steps,
+                         num_blocks=args.num_blocks)
+        print(json.dumps({"tokens_per_s": round(tps, 2)}))
+        return
+
+    import subprocess
+
+    def phase(name):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--phase", name,
+             "--target", args.target, "--draft", args.draft,
+             "--k", str(args.k), "--steps", str(args.steps),
+             "--num-blocks", str(args.num_blocks)],
+            capture_output=True, text=True, timeout=3600,
+        )
+        line = [l for l in out.stdout.splitlines()
+                if l.strip().startswith("{")]
+        if not line:
+            raise RuntimeError(
+                f"{name} phase failed: {out.stderr.strip().splitlines()[-3:]}"
+            )
+        return json.loads(line[-1])["tokens_per_s"]
+
+    plain = phase("plain")
+    spec = phase("spec")
     print(json.dumps({
         "metric": f"spec_decode_tokens_per_s_{args.target}_k{args.k}",
         "value": round(spec, 1),

@@ -124,9 +124,22 @@ class LLM:
     def apply_chat_template(self, messages) -> str:
         return self._handler.apply_chat_template(messages)
 
+    def close(self) -> None:
+        """Stop the scheduler/handler threads and drop engine references
+        so device buffers (params + KV pool) can actually be freed —
+        the handler/scheduler/engine reference cycle otherwise keeps GBs
+        of HBM alive until a full gc pass (measured: a 9B target's
+        buffers surviving `del llm` starved the follow-up speculative
+        engine on one chip)."""
+        import gc
+
+        self._handler.stop()
+        self._handler = None
+        gc.collect()
+
     def __enter__(self):
         return self
 
     def __exit__(self, *exc):
-        self._handler.stop()
+        self.close()
         return False

@@ -1189,6 +1189,21 @@ class DecoderModel:
         # double-buffered DMA (ops/quant_matmul.py stacked path).
         quant_stream = {}
         layers_xs = params["layers"]
+
+        def _stream_alignable(v) -> bool:
+            """The stacked stream path DMAs scale blocks at dynamic
+            offsets; Mosaic needs the row extent 16-aligned (bf16) or
+            8-aligned via quant_matmul's f32-upcast (K % 8G == 0).
+            Unalignable K dims (gemma2's 3584/g128 → 28 rows) fall back
+            to riding the scan xs — per-layer slice copies, slower but
+            correct (the stream kernel would fail to COMPILE, and a
+            failing remote compile retries forever)."""
+            pack = 2 if self.quant.bits == 4 else 1
+            K = v["qweight"].shape[2] * pack
+            rows = v["scales"].shape[2]
+            G = max(K // max(rows, 1), 1)
+            return rows % 16 == 0 or (rows % 8 == 0 and K % (8 * G) == 0)
+
         if self.quant is not None:
             layers_xs = {}
             for name, v in params["layers"].items():
@@ -1196,6 +1211,7 @@ class DecoderModel:
                     isinstance(v, dict)
                     and "qweight" in v
                     and v["qweight"].ndim == 4
+                    and _stream_alignable(v)
                 ):
                     quant_stream[name] = {
                         k2: v[k2] for k2 in ("qweight", "scales", "zeros")

@@ -115,6 +115,18 @@ def ragged_paged_attention(
             logit_soft_cap=logit_soft_cap, k_scale=k_scale, v_scale=v_scale,
             alibi_slopes=alibi_slopes,
         )
+    if backend == "tpu" and q.shape[2] > 128:
+        # head_dim > 128 (gemma2-class, hd=256): the stock kernel's
+        # strided KV load packs bf16 pairs into 128-lane i32 vectors and
+        # rejects wider head dims at Mosaic lowering ("last dim size is
+        # not 128 in original base memref", measured on the gemma2-9b
+        # spec preset). Run the jnp reference under jit — XLA fuses it;
+        # a dedicated wide-head Pallas kernel is future work (NEXT.md).
+        return ref_ragged_paged_attention(
+            q, kv_pages, kv_lens, page_indices, cu_q_lens, num_seqs,
+            sm_scale=sm_scale, sliding_window=sliding_window,
+            logit_soft_cap=logit_soft_cap, k_scale=k_scale, v_scale=v_scale,
+        )
     if backend == "tpu":
         from jax.experimental.pallas.ops.tpu.ragged_paged_attention import (
             ragged_paged_attention as tpu_kernel,
