@@ -737,8 +737,11 @@ def _serve_section(repo: str) -> None:
         # E[accepted tokens/round] at per-token acceptance alpha
         # (leading-match + bonus): (1 - a^(k+1)) / (1 - a).
         exp_acc = (1 - alpha ** (k + 1)) / (1 - alpha)
-        proj = gem["value"] * exp_acc / (k + 1)
-        plain = gem.get("plain_tokens_per_s") or 1e-9
+        # Prefer the device-side pair (no tunnel RTT) when available.
+        bound_tps = gem.get("device_bound_tokens_per_s") or gem["value"]
+        proj = bound_tps * exp_acc / (k + 1)
+        plain = (gem.get("device_plain_tokens_per_s")
+                 or gem.get("plain_tokens_per_s") or 1e-9)
         print(json.dumps({
             "metric": "spec_decode_projected_tokens_per_s_gemma2-9b-int8",
             "value": round(proj, 1),

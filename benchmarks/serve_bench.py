@@ -208,7 +208,9 @@ def main():
     if args.num_speculative_tokens > 0:
         acc = metrics.COUNTERS.get("num_accepted_tokens_total") or 0
         drf = metrics.COUNTERS.get("num_draft_tokens_total") or 0
-        result["ngram_accepted_fraction"] = (
+        # accepted counts INCLUDE the bonus token each round, so this
+        # ratio can exceed 1.0 at high acceptance (k accepted + bonus / k).
+        result["ngram_accepted_per_draft"] = (
             round(acc / drf, 3) if drf else 0.0
         )
     if args.num_decode_steps > 1:

@@ -56,6 +56,142 @@ def run(model_dir, draft_dir, k, steps, num_blocks=256, prompt=None):
     return n / dt, rate
 
 
+def run_device_bound(tdir, ddir, k, rounds, num_blocks):
+    """Full-acceptance machinery bound with the host loop OUT of the
+    measurement: dispatch fused spec rounds back-to-back without fetching
+    per-round results (full-acceptance bookkeeping precomputed on host).
+    On the dev tunnel the LLM-API path is ~60 ms/step of pure RTT, which
+    buries the device cost this bound is supposed to measure; production
+    serving has ~none of that latency."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from scalellm_tpu import LLM
+    from scalellm_tpu.engine.params import SamplingInputs
+    from scalellm_tpu.speculative.spec_executor import SpecInputs
+
+    llm = LLM(tdir, draft_model=ddir, num_speculative_tokens=k,
+              block_size=16, num_blocks=num_blocks, enable_cuda_graph=False)
+    se = llm._handler.engine.spec_executor
+    S, page = 1, 16
+    maxp = num_blocks - 2
+    bt = np.zeros((S, maxp), np.int32)
+    bt[0] = np.arange(1, maxp + 1)
+    si = SamplingInputs(
+        temperatures=np.zeros(S, np.float32),
+        top_ks=np.zeros(S, np.int32),
+        top_ps=np.ones(S, np.float32),
+        frequency_penalties=np.zeros(S, np.float32),
+        presence_penalties=np.zeros(S, np.float32),
+        repetition_penalties=np.ones(S, np.float32),
+        unique_token_ids=np.zeros((S, 1), np.int32),
+        unique_token_counts=np.zeros((S, 1), np.int32),
+        bias_token_ids=np.zeros((S, 1), np.int32),
+        bias_values=np.zeros((S, 1), np.float32),
+        allowed_mask=np.full((S, 1), 0xFFFFFFFF, np.uint32),
+        seeds=np.zeros(S, np.uint32),
+    )
+
+    def mk_inp(p0):
+        return SpecInputs(
+            first_tokens=np.zeros(S, np.int32),
+            positions0=np.full(S, p0, np.int32),
+            slot_ids=(page + p0 + np.arange(k + 1, dtype=np.int32))[None, :],
+            block_tables=bt,
+            seq_mask=np.ones(S, np.float32),
+            num_seqs=np.array([1], np.int32),
+            do_sample=np.zeros(S, bool),
+            seeds=np.zeros(S, np.uint32),
+        )
+
+    dev = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
+    si_dev = dev(si)
+    fn = se._spec_fn
+    t_kv, d_kv = se.target.kv_cache, se.draft.kv_cache
+    acc, _, t_kv, d_kv = fn(se.target.params, se.draft.params, t_kv, d_kv,
+                            dev(mk_inp(0)), si_dev)  # warm/compile
+    np.asarray(acc)
+    p0 = k + 1
+    t0 = time.perf_counter()
+    for _ in range(rounds):
+        acc, _, t_kv, d_kv = fn(se.target.params, se.draft.params,
+                                t_kv, d_kv, dev(mk_inp(p0)), si_dev)
+        p0 += k + 1
+    np.asarray(acc)
+    dt = time.perf_counter() - t0
+    se.target.kv_cache, se.draft.kv_cache = t_kv, d_kv
+    llm.close()
+    return rounds * (k + 1) / dt, dt / rounds
+
+
+def run_plain_device_bound(tdir, steps, num_blocks):
+    """Device-side plain-decode bound for the SAME target (fair
+    denominator for the spec device bound: dispatches back-to-back, no
+    per-step fetches)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from scalellm_tpu import LLM
+    from scalellm_tpu.engine.params import ModelInputs, SamplingInputs
+
+    llm = LLM(tdir, block_size=16, num_blocks=num_blocks,
+              enable_cuda_graph=False)
+    ex = llm._handler.engine.executor
+    step = ex._build_step_fn(decode_only=True)
+    S, page = 1, 16
+    maxp = num_blocks - 2
+    bt = np.zeros((S, maxp), np.int32)
+    bt[0] = np.arange(1, maxp + 1)
+    si = SamplingInputs(
+        temperatures=np.zeros(S, np.float32),
+        top_ks=np.zeros(S, np.int32),
+        top_ps=np.ones(S, np.float32),
+        frequency_penalties=np.zeros(S, np.float32),
+        presence_penalties=np.zeros(S, np.float32),
+        repetition_penalties=np.ones(S, np.float32),
+        unique_token_ids=np.zeros((S, 1), np.int32),
+        unique_token_counts=np.zeros((S, 1), np.int32),
+        bias_token_ids=np.zeros((S, 1), np.int32),
+        bias_values=np.zeros((S, 1), np.float32),
+        allowed_mask=np.full((S, 1), 0xFFFFFFFF, np.uint32),
+        seeds=np.zeros(S, np.uint32),
+    )
+
+    def mk_mi(pos):
+        return ModelInputs(
+            token_ids=np.zeros(S, np.int32),
+            positions=np.full(S, pos, np.int32),
+            token_seg=np.arange(S, dtype=np.int32),
+            new_kv_slot_ids=np.full(S, page + pos, np.int32),
+            block_tables=bt,
+            kv_lens=np.full(S, pos + 1, np.int32),
+            cu_q_lens=np.arange(S + 1, dtype=np.int32),
+            num_seqs=np.array([S], np.int32),
+            selected_idxes=np.arange(S, dtype=np.int32),
+            seq_mask=np.ones(S, np.float32),
+        )
+
+    dev = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
+    si_dev = dev(si)
+    kv = ex.kv_cache
+    outs, kv = step(ex.params, kv, dev(mk_mi(0)), si_dev)
+    np.asarray(outs.next_tokens)
+    t0 = time.perf_counter()
+    for i in range(steps):
+        outs, kv = step(ex.params, kv, dev(mk_mi(i + 1)), si_dev)
+    np.asarray(outs.next_tokens)
+    dt = time.perf_counter() - t0
+    ex.kv_cache = kv
+    llm.close()
+    return steps / dt
+
+
 def main_trained(args):
     """HONEST speculative number: target AND draft are char-llamas TRAINED
     on the same corpus (draft = 1 layer / 64 dim, weaker), so the draft
@@ -104,7 +240,9 @@ def main():
                         "keeps the 9B+2B pair inside HBM)")
     p.add_argument("--trained", action="store_true",
                    help="trained char-llama target+draft: REAL acceptance")
-    p.add_argument("--phase", choices=["plain", "spec"], default=None,
+    p.add_argument("--phase",
+                   choices=["plain", "spec", "bound", "plain-bound"],
+                   default=None,
                    help=argparse.SUPPRESS)  # internal: subprocess phases
     args = p.parse_args()
 
@@ -118,6 +256,18 @@ def main():
     tdir = make_preset_dir(args.target)
     ddir = make_preset_dir(args.draft)
 
+    if args.phase == "bound":
+        tps, round_s = run_device_bound(
+            tdir, ddir, args.k, rounds=24, num_blocks=args.num_blocks
+        )
+        print(json.dumps({"tokens_per_s": round(tps, 2),
+                          "round_s": round(round_s, 4)}))
+        return
+    if args.phase == "plain-bound":
+        tps = run_plain_device_bound(tdir, steps=48,
+                                     num_blocks=args.num_blocks)
+        print(json.dumps({"tokens_per_s": round(tps, 2)}))
+        return
     if args.phase in ("plain", "spec"):
         # Child phase: one engine per PROCESS — the 9B target + draft pair
         # barely fits one 16 GB chip, and a same-process sequential run
@@ -153,15 +303,33 @@ def main():
 
     plain = phase("plain")
     spec = phase("spec")
-    print(json.dumps({
+    bound = plain_bound = None
+    try:
+        bound = phase("bound")
+        plain_bound = phase("plain-bound")
+    except Exception as e:
+        print(f"bound phase failed: {e}", file=sys.stderr)
+    result = {
         "metric": f"spec_decode_tokens_per_s_{args.target}_k{args.k}",
         "value": round(spec, 1),
         "unit": "tokens/s",
         "plain_tokens_per_s": round(plain, 1),
         "speedup_at_full_acceptance": round(spec / plain, 2),
         "note": "zero-weight synthetic: speculative number is the "
-                "full-acceptance upper bound; plain decode is exact",
-    }))
+                "full-acceptance upper bound; plain decode is exact. "
+                "plain/spec via the LLM API include the dev-tunnel's "
+                "~60ms/step host RTT; the device_bound pair times the "
+                "same fused round / plain step back-to-back without "
+                "per-round fetches (what production serving sees).",
+    }
+    if bound is not None:
+        result["device_bound_tokens_per_s"] = round(bound, 1)
+    if plain_bound:
+        result["device_plain_tokens_per_s"] = round(plain_bound, 1)
+        result["device_speedup_at_full_acceptance"] = round(
+            bound / plain_bound, 2
+        )
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
