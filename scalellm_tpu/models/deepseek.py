@@ -751,8 +751,23 @@ class MLADecoderModel:
                     max_active=cap,
                 )
 
-            g = gm(xs, "moe_gate")
-            u = gm(xs, "moe_up")
+            if _os.environ.get("MOE_FUSE_GATE_UP", "0") != "0":
+                # Fused gate+up: one kernel streams both projections'
+                # expert tiles (2 launches/layer instead of 3 —
+                # DEEPSEEK_DECOMP.md named the ~8 launches/layer as an
+                # above-floor cost). Falls back to two calls when the
+                # shapes differ or the decode-path gates reject.
+                from scalellm_tpu.ops.moe_quant import (
+                    grouped_quant_matmul_pair,
+                )
+
+                g, u = grouped_quant_matmul_pair(
+                    xs, expert_stream["moe_gate"], expert_stream["moe_up"],
+                    group_sizes, layer=li, max_active=cap,
+                )
+            else:
+                g = gm(xs, "moe_gate")
+                u = gm(xs, "moe_up")
             hidden = (jax.nn.silu(g) * u).astype(x.dtype)
             y = gm(hidden, "moe_down")
         else:

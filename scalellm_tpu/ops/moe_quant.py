@@ -230,6 +230,242 @@ def _decode_kernel(
         o_ref[:] += jnp.where(in_grp, dots, 0.0)
 
 
+def _decode_kernel_pair(
+    lr_ref,  # i32[1] layer index (or 0)
+    act_ref,  # i32[E] compacted active experts, -1 padded (scalar prefetch)
+    starts_ref,  # i32[E]
+    sizes_ref,  # i32[E]
+    xs_ref,  # [Tp, K] bf16 (VMEM)
+    qg_hbm,  # gate weights int8 [(L,) E, Kw, N] (ANY)
+    qu_hbm,  # up weights, same shape (ANY)
+    scg_ref,  # gate scales (VMEM block or HBM, see sc_stream)
+    scu_ref,  # up scales
+    og_ref,  # [Tp, N] f32
+    ou_ref,  # [Tp, N] f32
+    wg_bufs,  # VMEM [2, Kw, N] int8
+    wu_bufs,  # VMEM [2, Kw, N] int8
+    sems_g,  # DMA [2]
+    sems_u,  # DMA [2]
+    *rest,  # sc_stream: scg_bufs, scu_bufs VMEM [2, n_g, N] + 2 sems
+    stacked: bool,
+    bits: int,
+    sc_stream: bool,
+):
+    """Gate+up fused variant of _decode_kernel: one grid walk over the
+    active experts streams BOTH projections' weight tiles (two 2-deep
+    rings) and emits both outputs — halving the per-layer routed kernel
+    launches (3 → 2) and the dispatch/scalar-prefetch overhead that goes
+    with them (DEEPSEEK_DECOMP.md: ~8 launches/layer was a named
+    above-floor cost). Same DMA-safety gating as _decode_kernel (EP
+    zero-active shards start nothing)."""
+    i = pl.program_id(0)
+    E = pl.num_programs(0)
+    e = act_ref[i]
+    valid = e >= 0
+    if sc_stream:
+        scg_bufs, scu_bufs, sem_scg, sem_scu = rest
+
+    def copies(expert, slot):
+        def src(hbm):
+            return hbm.at[lr_ref[0], expert] if stacked else hbm.at[expert]
+
+        cp = [
+            pltpu.make_async_copy(src(qg_hbm), wg_bufs.at[slot],
+                                  sems_g.at[slot]),
+            pltpu.make_async_copy(src(qu_hbm), wu_bufs.at[slot],
+                                  sems_u.at[slot]),
+        ]
+        if sc_stream:
+            cp.append(pltpu.make_async_copy(
+                src(scg_ref), scg_bufs.at[slot], sem_scg.at[slot]))
+            cp.append(pltpu.make_async_copy(
+                src(scu_ref), scu_bufs.at[slot], sem_scu.at[slot]))
+        return cp
+
+    @pl.when(i == 0)
+    def _():
+        og_ref[:] = jnp.zeros_like(og_ref)
+        ou_ref[:] = jnp.zeros_like(ou_ref)
+
+        @pl.when(act_ref[0] >= 0)
+        def _():
+            for c in copies(jnp.maximum(act_ref[0], 0), 0):
+                c.start()
+
+    @pl.when(valid)
+    def _():
+        nxt = jnp.minimum(i + 1, E - 1)
+
+        @pl.when(jnp.logical_and(i + 1 < E, act_ref[nxt] >= 0))
+        def _():
+            for c in copies(act_ref[nxt], (i + 1) % 2):
+                c.start()
+
+        slot = i % 2
+        for c in copies(e, slot):
+            c.wait()
+
+        start = starts_ref[e]
+        size = sizes_ref[e]
+        rows = jax.lax.broadcasted_iota(jnp.int32, og_ref.shape, 0)
+        in_grp = jnp.logical_and(rows >= start, rows < start + size)
+
+        for which, (w_bufs, sc_hbm, sc_ring, o_ref) in enumerate((
+            (wg_bufs, scg_ref, scg_bufs if sc_stream else None, og_ref),
+            (wu_bufs, scu_ref, scu_bufs if sc_stream else None, ou_ref),
+        )):
+            if bits == 8:
+                w = w_bufs[slot]
+                dots = jax.lax.dot_general(
+                    xs_ref[:], w, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                sc = sc_hbm[pl.ds(e, 1), :].astype(jnp.float32)
+                dots = dots * sc
+            else:
+                packed = w_bufs[slot]
+                if sc_stream:
+                    sc = sc_ring[slot].astype(jnp.float32)[None]
+                else:
+                    sc = sc_hbm[pl.ds(e, 1), :, :].astype(jnp.float32)
+                n_g = sc.shape[1]
+                rows_g = packed.shape[0] // n_g
+                G = rows_g * 2
+                dots = jnp.zeros(o_ref.shape, jnp.float32)
+                for g in range(n_g):
+                    pk = packed[g * rows_g:(g + 1) * rows_g, :]
+                    wb = pltpu.bitcast(pk, jnp.int4).astype(jnp.bfloat16)
+                    xg = xs_ref[:, g * G:(g + 1) * G]
+                    d = jax.lax.dot_general(
+                        xg, wb, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    dots = dots + d * sc[:, g, :]
+            o_ref[:] += jnp.where(in_grp, dots, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "max_active"))
+def _decode_grouped_quant_matmul_pair(xs, qg, scg, qu, scu, group_sizes,
+                                      layer=None, interpret: bool = False,
+                                      max_active: int = 0):
+    Tp, K = xs.shape
+    stacked = qg.ndim == 4
+    E, Kw, N = qg.shape[-3:]
+    bits = 4 if Kw * 2 == K else 8
+    A = min(E, max_active) if max_active else E
+    active = jnp.nonzero(group_sizes > 0, size=A, fill_value=-1)[0]
+    starts = (jnp.cumsum(group_sizes) - group_sizes).astype(jnp.int32)
+    lr = jnp.asarray(layer if layer is not None else 0, jnp.int32).reshape(1)
+    scratch = [
+        pltpu.VMEM((2, Kw, N), jnp.int8),
+        pltpu.VMEM((2, Kw, N), jnp.int8),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    sc_stream = bits == 4 and scg.shape[-2] % 8 == 0
+    if sc_stream:
+        sc_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * 2
+        n_g = scg.shape[-2]
+        scratch += [
+            pltpu.VMEM((2, n_g, N), scg.dtype),
+            pltpu.VMEM((2, n_g, N), scu.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+        sc_args = (scg, scu)
+    else:
+        if stacked:
+            scg, scu = scg[layer], scu[layer]
+        sc_specs = [
+            pl.BlockSpec(s.shape, lambda i, *_, nd=s.ndim: (0,) * nd)
+            for s in (scg, scu)
+        ]
+        sc_args = tuple(
+            s if bits == 4 else s.astype(jnp.float32) for s in (scg, scu)
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(A,),
+        in_specs=[
+            pl.BlockSpec((Tp, K), lambda i, *_: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            *sc_specs,
+        ],
+        out_specs=[pl.BlockSpec((Tp, N), lambda i, *_: (0, 0))] * 2,
+        scratch_shapes=scratch,
+    )
+    return pl.pallas_call(
+        functools.partial(_decode_kernel_pair, stacked=stacked, bits=bits,
+                          sc_stream=sc_stream),
+        out_shape=[jax.ShapeDtypeStruct((Tp, N), jnp.float32)] * 2,
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * Tp * K * N,
+            bytes_accessed=2 * min(E, Tp) * Kw * N + Tp * K * 2
+            + 2 * Tp * N * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        lr, active.astype(jnp.int32), starts, group_sizes.astype(jnp.int32),
+        xs.astype(jnp.bfloat16), qg, qu, *sc_args,
+    )
+
+
+def grouped_quant_matmul_pair(xs, w_g: dict, w_u: dict, group_sizes, *,
+                              layer=None, backend=None,
+                              interpret: bool = False, max_active: int = 0):
+    """Fused gate+up routed-expert matmul: returns (g, u), each [Tp, N]
+    f32 dequantized. Takes the fused decode kernel when both weight dicts
+    are shape-identical and fit the decode-path gates; otherwise falls back
+    to two grouped_quant_matmul calls (identical numerics either way)."""
+    from scalellm_tpu.ops.quant_matmul import _default_backend
+
+    qg, scg = w_g["qweight"], w_g["scales"]
+    qu, scu = w_u["qweight"], w_u["scales"]
+    backend = backend or _default_backend()
+    Tp, K = xs.shape
+    E, Kw, N = qg.shape[-3:]
+    bits = 4 if Kw * 2 == K else 8
+    if bits == 4 and scg.shape[-2] % 8 == 0:
+        n_scale = 2 * 2 * scg.shape[-2] * N
+    elif bits == 4:
+        n_scale = 2 * E * scg.shape[-2] * N
+    else:
+        n_scale = 2 * E * N
+    decode_vmem = (
+        4 * Kw * N  # two int8 weight rings
+        + n_scale * (scg.dtype.itemsize if bits == 4 else 4)
+        + Tp * K * 2
+        + 2 * Tp * N * 4
+    )
+    fusable = (
+        qg.shape == qu.shape
+        and scg.shape == scu.shape
+        and Tp <= 256
+        and decode_vmem <= 12 * 1024 * 1024
+        and (backend == "tpu" or interpret)
+    )
+    if fusable:
+        g, u = _decode_grouped_quant_matmul_pair(
+            xs, qg, scg, qu, scu, group_sizes, layer=layer,
+            interpret=interpret, max_active=max_active,
+        )
+        return g, u
+    g = grouped_quant_matmul(xs, w_g, group_sizes, layer=layer,
+                             backend=backend, interpret=interpret,
+                             max_active=max_active)
+    u = grouped_quant_matmul(xs, w_u, group_sizes, layer=layer,
+                             backend=backend, interpret=interpret,
+                             max_active=max_active)
+    return g, u
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "max_active"))
 def _decode_grouped_quant_matmul(xs, qw, scales, group_sizes, layer=None,
                                  interpret: bool = False,

@@ -326,3 +326,104 @@ def test_decode_kernel_vmem_overflow_falls_back():
                               "scales": jnp.asarray(big_sc)},
             jnp.asarray(gs), interpret=True)
     assert out.shape == (xs.shape[0], big_N)
+
+
+def test_pair_kernel_matches_single_interpret():
+    """Fused gate+up kernel == two single calls (int8 and int4, stacked
+    and flat, zero-active): the fused path must be a pure launch-count
+    optimization with identical numerics."""
+    from scalellm_tpu.ops.moe_quant import (
+        grouped_quant_matmul_pair,
+        quantize_experts_int4,
+    )
+
+    rng = np.random.default_rng(7)
+    E, K, N, Tp = 8, 256, 384, 8
+    xs = rng.standard_normal((Tp, K)).astype(np.float32)
+    gs = np.zeros(E, np.int32)
+    gs[2], gs[5] = 5, 3
+
+    for bits in (8, 4):
+        wg = rng.standard_normal((E, K, N)).astype(np.float32) * 0.05
+        wu = rng.standard_normal((E, K, N)).astype(np.float32) * 0.05
+        if bits == 8:
+            qg, sg = quantize_experts_int8(wg)
+            qu, su = quantize_experts_int8(wu)
+        else:
+            qg, sg = quantize_experts_int4(wg, 128)
+            qu, su = quantize_experts_int4(wu, 128)
+        dg = {"qweight": jnp.asarray(qg), "scales": jnp.asarray(sg)}
+        du = {"qweight": jnp.asarray(qu), "scales": jnp.asarray(su)}
+        g1 = grouped_quant_matmul(jnp.asarray(xs), dg, jnp.asarray(gs),
+                                  interpret=True)
+        u1 = grouped_quant_matmul(jnp.asarray(xs), du, jnp.asarray(gs),
+                                  interpret=True)
+        g2, u2 = grouped_quant_matmul_pair(
+            jnp.asarray(xs), dg, du, jnp.asarray(gs), interpret=True)
+        np.testing.assert_allclose(np.asarray(g2), np.asarray(g1),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(u2), np.asarray(u1),
+                                   rtol=1e-5, atol=1e-5)
+
+        # layer-stacked with max_active cap (the deepseek decode shape)
+        L = 2
+        dgl = {"qweight": jnp.asarray(np.stack([qg, np.roll(qg, 1, 0)])),
+               "scales": jnp.asarray(np.stack([sg, np.roll(sg, 1, 0)]))}
+        dul = {"qweight": jnp.asarray(np.stack([qu, np.roll(qu, 1, 0)])),
+               "scales": jnp.asarray(np.stack([su, np.roll(su, 1, 0)]))}
+        for layer in (0, 1):
+            g1 = grouped_quant_matmul(
+                jnp.asarray(xs), dgl, jnp.asarray(gs),
+                layer=jnp.asarray(layer), interpret=True, max_active=4)
+            g2, u2 = grouped_quant_matmul_pair(
+                jnp.asarray(xs), dgl, dul, jnp.asarray(gs),
+                layer=jnp.asarray(layer), interpret=True, max_active=4)
+            np.testing.assert_allclose(np.asarray(g2), np.asarray(g1),
+                                       rtol=1e-5, atol=1e-5)
+
+    # zero active experts (EP remote-routed shard): all-zero outputs, no
+    # dangling DMA (interpret mode asserts unwaited copies).
+    gs0 = np.zeros(E, np.int32)
+    g0, u0 = grouped_quant_matmul_pair(
+        jnp.asarray(xs), dg, du, jnp.asarray(gs0), interpret=True)
+    assert np.abs(np.asarray(g0)).max() == 0
+    assert np.abs(np.asarray(u0)).max() == 0
+
+
+def test_deepseek_fused_gate_up_env_parity(monkeypatch):
+    """MOE_FUSE_GATE_UP=1 produces the same deepseek logits as the
+    default two-call path (CPU falls through to the reference matmul in
+    both cases; the flag must not change numerics anywhere)."""
+    from scalellm_tpu.config import QuantArgs
+    from scalellm_tpu.engine.params import ModelInputs
+    from scalellm_tpu.models.deepseek import MLADecoderModel
+    from scalellm_tpu.parallel.config import ParallelConfig
+    from scalellm_tpu.quantization.runtime import quantize_model_params
+
+    dense = MLADecoderModel(_tiny_deepseek_args(False), ParallelConfig())
+    params = dense.init_params(jax.random.PRNGKey(0))
+    qmodel, qparams = quantize_model_params(
+        dense, jax.tree_util.tree_map(np.asarray, params),
+        QuantArgs(quant_method="internal", bits=8, group_size=128),
+    )
+    qparams = jax.tree_util.tree_map(jnp.asarray, qparams)
+    T, page = 4, 4
+    kv = jnp.zeros(dense.kv_cache_shape(8, page), jnp.float32)
+    mi = ModelInputs(
+        token_ids=jnp.asarray([3, 17, 42, 9], jnp.int32),
+        positions=jnp.arange(T, dtype=jnp.int32),
+        token_seg=jnp.zeros(T, jnp.int32),
+        new_kv_slot_ids=jnp.arange(T, dtype=jnp.int32) + page,
+        block_tables=jnp.asarray([[1, 2, 0, 0]], jnp.int32),
+        kv_lens=jnp.asarray([T], jnp.int32),
+        cu_q_lens=jnp.asarray([0, T], jnp.int32),
+        num_seqs=jnp.asarray([1], jnp.int32),
+        selected_idxes=jnp.asarray([T - 1], jnp.int32),
+        seq_mask=jnp.ones(1, jnp.float32),
+    )
+    monkeypatch.delenv("MOE_FUSE_GATE_UP", raising=False)
+    base, _ = qmodel.forward(qparams, kv, mi)
+    monkeypatch.setenv("MOE_FUSE_GATE_UP", "1")
+    fused, _ = qmodel.forward(qparams, kv, mi)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(base),
+                               rtol=1e-5, atol=1e-5)
