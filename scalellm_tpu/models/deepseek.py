@@ -708,6 +708,74 @@ class MLADecoderModel:
         flat_w = topk_w.reshape(-1)
         from scalellm_tpu.layers.moe import _grouped_matmul, _on_tpu
 
+        # T=1 fast dispatch (decode b=1, the latency-critical shape): the
+        # top-k expert ids are already DISTINCT, so the expert-sorted-rows
+        # contract can be met without sorting at all — row j simply belongs
+        # to top-k slot j's expert (starts[e_j] = j, sizes[e_j] = 1), the
+        # activation rows are one broadcast of the single token, and the
+        # combine is a weighted row-sum. Removes the per-layer argsort /
+        # bincount / nonzero-compaction / gather / scatter-add small-op
+        # chain (~6 XLA launches × 26 MoE layers at V2-Lite b=1).
+        # Kernel-path only: the unsorted layout is invalid for gmm, so
+        # gate on fits_decode_kernel.
+        t1_fast = (
+            T == 1
+            and expert_stream is not None
+            and "routed" not in _ablate
+            and not (self.moe_expert_sharded
+                     and self.parallel.tp_axis is not None)
+            and (_on_tpu() or _os.environ.get("MOE_DISPATCH_T1") == "force")
+            and _os.environ.get("MOE_DISPATCH_T1", "1") != "0"
+        )
+        if t1_fast:
+            from scalellm_tpu.ops.moe_quant import (
+                fits_decode_kernel,
+                grouped_quant_matmul,
+                grouped_quant_matmul_pair,
+            )
+
+            D = x.shape[1]
+            Tp = ((k + 7) // 8) * 8  # sublane row tile
+            int4 = expert_stream["moe_gate"]["qweight"].shape[-2] * 2 == D
+            Kw_d = expert_stream["moe_down"]["qweight"].shape[-2]
+            t1_fast = (
+                fits_decode_kernel(Tp, D, expert_stream["moe_gate"])
+                and fits_decode_kernel(
+                    Tp, Kw_d * 2 if int4 else Kw_d,
+                    expert_stream["moe_down"],
+                )
+            )
+        if t1_fast:
+            e_sel = topk_e[0].astype(jnp.int32)  # [k], distinct by top_k
+            w_sel = topk_w[0].astype(jnp.float32)
+            xs = jnp.broadcast_to(x, (Tp, D)).astype(x.dtype)
+            sizes = jnp.zeros((E_local,), jnp.int32).at[e_sel].set(1)
+            starts = jnp.zeros((E_local,), jnp.int32).at[e_sel].set(
+                jnp.arange(k, dtype=jnp.int32)
+            )
+            cap = min(int(E_local), k)
+            if _os.environ.get("MOE_FUSE_GATE_UP", "1") != "0":
+                g, u = grouped_quant_matmul_pair(
+                    xs, expert_stream["moe_gate"], expert_stream["moe_up"],
+                    sizes, layer=li, max_active=cap, active=e_sel,
+                    starts=starts,
+                )
+            else:
+                g = grouped_quant_matmul(
+                    xs, expert_stream["moe_gate"], sizes, layer=li,
+                    max_active=cap, active=e_sel, starts=starts)
+                u = grouped_quant_matmul(
+                    xs, expert_stream["moe_up"], sizes, layer=li,
+                    max_active=cap, active=e_sel, starts=starts)
+            hidden = (jax.nn.silu(g) * u).astype(x.dtype)
+            y = grouped_quant_matmul(
+                hidden, expert_stream["moe_down"], sizes, layer=li,
+                max_active=cap, active=e_sel, starts=starts)
+            w_col = jnp.zeros((Tp,), jnp.float32).at[
+                jnp.arange(k, dtype=jnp.int32)].set(w_sel)
+            out = jnp.sum(y * w_col[:, None], axis=0, keepdims=True)
+            return self._moe_shared(lp, x, out, stream, li, _ablate)
+
         if self.moe_expert_sharded and self.parallel.tp_axis is not None:
             # Expert parallelism (see layers/moe.py moe_mlp): keep only this
             # shard's experts; remote-expert slots route to the overflow
@@ -784,10 +852,14 @@ class MLADecoderModel:
         out = jnp.zeros((T, y.shape[-1]), jnp.float32).at[token_of].add(
             y, mode="drop"
         )
-        # Shared experts: plain gated FFN added directly (no gate scalar).
-        # Each projection independently takes the quantized stream or the
-        # bf16 scan param (alignment-gated: e.g. V2-Lite's shared_down has
-        # K=2816 whose scale rows can't sublane-align — see _can_quant).
+        return self._moe_shared(lp, x, out, stream, li, _ablate)
+
+    def _moe_shared(self, lp, x, out, stream, li, _ablate):
+        """Shared experts: plain gated FFN added directly (no gate scalar).
+        Each projection independently takes the quantized stream or the
+        bf16 scan param (alignment-gated: e.g. V2-Lite's shared_down has
+        K=2816 whose scale rows can't sublane-align — see _can_quant)."""
+        a = self.args
         stream = stream or {}
         if "shared" in _ablate:
             pass

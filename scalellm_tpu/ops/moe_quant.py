@@ -92,14 +92,17 @@ def _dequant_int4(packed, scales, group_size: int = 128):
     return out.reshape(K, N)
 
 
-def _ref_grouped_quant_matmul(xs, qw, scales, group_sizes):
+def _ref_grouped_quant_matmul(xs, qw, scales, group_sizes, starts=None):
     """CPU/reference path: dequantize per expert, masked accumulation.
     scales [E, N] = int8 per-channel; scales [E, K/G, N] = packed int4
-    with per-group grids."""
+    with per-group grids. `starts` overrides the expert-sorted row
+    offsets (cumsum of group_sizes) for the T=1 fast-dispatch layout
+    where row j belongs to top-k slot j's expert, unsorted."""
     E = qw.shape[0]
     int4 = scales.ndim == 3
-    bounds = jnp.cumsum(group_sizes)
-    starts = bounds - group_sizes
+    if starts is None:
+        starts = jnp.cumsum(group_sizes) - group_sizes
+    bounds = starts + group_sizes
     t_idx = jnp.arange(xs.shape[0])[:, None]
     out = jnp.zeros((xs.shape[0], qw.shape[-1]), jnp.float32)
     xf = xs.astype(jnp.float32)
@@ -346,15 +349,19 @@ def _decode_kernel_pair(
 
 @functools.partial(jax.jit, static_argnames=("interpret", "max_active"))
 def _decode_grouped_quant_matmul_pair(xs, qg, scg, qu, scu, group_sizes,
-                                      layer=None, interpret: bool = False,
+                                      layer=None, active=None, starts=None,
+                                      interpret: bool = False,
                                       max_active: int = 0):
     Tp, K = xs.shape
     stacked = qg.ndim == 4
     E, Kw, N = qg.shape[-3:]
     bits = 4 if Kw * 2 == K else 8
     A = min(E, max_active) if max_active else E
-    active = jnp.nonzero(group_sizes > 0, size=A, fill_value=-1)[0]
-    starts = (jnp.cumsum(group_sizes) - group_sizes).astype(jnp.int32)
+    if active is None:
+        active = jnp.nonzero(group_sizes > 0, size=A, fill_value=-1)[0]
+    if starts is None:
+        starts = jnp.cumsum(group_sizes) - group_sizes
+    starts = starts.astype(jnp.int32)
     lr = jnp.asarray(layer if layer is not None else 0, jnp.int32).reshape(1)
     scratch = [
         pltpu.VMEM((2, Kw, N), jnp.int8),
@@ -418,8 +425,9 @@ def _decode_grouped_quant_matmul_pair(xs, qg, scg, qu, scu, group_sizes,
 
 
 def grouped_quant_matmul_pair(xs, w_g: dict, w_u: dict, group_sizes, *,
-                              layer=None, backend=None,
-                              interpret: bool = False, max_active: int = 0):
+                              layer=None, backend=None, active=None,
+                              starts=None, interpret: bool = False,
+                              max_active: int = 0):
     """Fused gate+up routed-expert matmul: returns (g, u), each [Tp, N]
     f32 dequantized. Takes the fused decode kernel when both weight dicts
     are shape-identical and fit the decode-path gates; otherwise falls back
@@ -453,21 +461,22 @@ def grouped_quant_matmul_pair(xs, w_g: dict, w_u: dict, group_sizes, *,
     )
     if fusable:
         g, u = _decode_grouped_quant_matmul_pair(
-            xs, qg, scg, qu, scu, group_sizes, layer=layer,
-            interpret=interpret, max_active=max_active,
+            xs, qg, scg, qu, scu, group_sizes, layer=layer, active=active,
+            starts=starts, interpret=interpret, max_active=max_active,
         )
         return g, u
     g = grouped_quant_matmul(xs, w_g, group_sizes, layer=layer,
-                             backend=backend, interpret=interpret,
-                             max_active=max_active)
+                             backend=backend, active=active, starts=starts,
+                             interpret=interpret, max_active=max_active)
     u = grouped_quant_matmul(xs, w_u, group_sizes, layer=layer,
-                             backend=backend, interpret=interpret,
-                             max_active=max_active)
+                             backend=backend, active=active, starts=starts,
+                             interpret=interpret, max_active=max_active)
     return g, u
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "max_active"))
 def _decode_grouped_quant_matmul(xs, qw, scales, group_sizes, layer=None,
+                                 active=None, starts=None,
                                  interpret: bool = False,
                                  max_active: int = 0):
     Tp, K = xs.shape
@@ -482,8 +491,11 @@ def _decode_grouped_quant_matmul(xs, qw, scales, group_sizes, layer=None,
     # kernel call, three calls per MoE layer (VERDICT r5: deepseek decode
     # decomposition).
     A = min(E, max_active) if max_active else E
-    active = jnp.nonzero(group_sizes > 0, size=A, fill_value=-1)[0]
-    starts = (jnp.cumsum(group_sizes) - group_sizes).astype(jnp.int32)
+    if active is None:
+        active = jnp.nonzero(group_sizes > 0, size=A, fill_value=-1)[0]
+    if starts is None:
+        starts = jnp.cumsum(group_sizes) - group_sizes
+    starts = starts.astype(jnp.int32)
     lr = jnp.asarray(layer if layer is not None else 0, jnp.int32).reshape(1)
     scratch = [
         pltpu.VMEM((2, Kw, N), jnp.int8),
@@ -547,9 +559,33 @@ def _decode_grouped_quant_matmul(xs, qw, scales, group_sizes, layer=None,
     )
 
 
+def fits_decode_kernel(Tp: int, K: int, w: dict) -> bool:
+    """Whether grouped_quant_matmul would take the streaming decode kernel
+    for a [Tp, K] activation block against weight dict `w` (the VMEM-budget
+    + row-count gate; see the comment in grouped_quant_matmul). Exposed so
+    callers building the decode-only T=1 fast-dispatch layout can confirm
+    the kernel path — that layout is invalid for the gmm fallback."""
+    qw, scales = w["qweight"], w["scales"]
+    E, Kw, N = qw.shape[-3:]
+    bits = 4 if Kw * 2 == K else 8
+    if bits == 4 and scales.shape[-2] % 8 == 0:
+        n_scale = 2 * scales.shape[-2] * N
+    elif bits == 4:
+        n_scale = E * scales.shape[-2] * N
+    else:
+        n_scale = E * N
+    decode_vmem = (
+        2 * Kw * N  # int8 weight ring
+        + n_scale * (scales.dtype.itemsize if bits == 4 else 4)
+        + Tp * K * 2  # bf16 activations
+        + Tp * N * 4  # f32 output
+    )
+    return Tp <= 256 and decode_vmem <= 12 * 1024 * 1024
+
+
 def grouped_quant_matmul(xs, w: dict, group_sizes, *, layer=None,
-                         backend=None, interpret: bool = False,
-                         max_active: int = 0):
+                         backend=None, active=None, starts=None,
+                         interpret: bool = False, max_active: int = 0):
     """xs [Tp, K] expert-sorted rows; w {"qweight" int8 [E,K,N] or
     layer-stacked [L,E,K,N] (pass `layer`), "scales" [E,N] / [L,E,N]};
     → [Tp, N] f32, already dequantized (scales folded in)."""
@@ -560,9 +596,9 @@ def grouped_quant_matmul(xs, w: dict, group_sizes, *, layer=None,
     if backend != "tpu" and not interpret:
         if qw.ndim == 4:
             qw, scales = qw[layer], scales[layer]
-        return _ref_grouped_quant_matmul(xs, qw, scales, group_sizes)
+        return _ref_grouped_quant_matmul(xs, qw, scales, group_sizes,
+                                         starts=starts)
     Tp, K = xs.shape
-    E, Kw, N = qw.shape[-3:]
     # The decode kernel tiles neither N nor K: its VMEM footprint is the
     # double-buffered weight scratch + the full scales block + the
     # activation/output blocks. V2-Lite dims are ~6-8 MB; a model with
@@ -570,36 +606,25 @@ def grouped_quant_matmul(xs, w: dict, group_sizes, *, layer=None,
     # COMPILE time, and a failing remote compile is retried forever and
     # wedges the serving process (7a2c187 postmortem) — so size-check up
     # front and fall back to the gmm/dequant path instead.
-    bits = 4 if Kw * 2 == K else 8
-    if bits == 4 and scales.shape[-2] % 8 == 0:
-        # int4 scale rows are streamed per active expert (2-deep ring)
-        n_scale = 2 * scales.shape[-2] * N
-    elif bits == 4:
-        # unaligned row count: whole per-layer grid as a VMEM block
-        n_scale = E * scales.shape[-2] * N
-    else:
-        # int8: the whole f32 [E, N] grid sits in VMEM
-        n_scale = E * N
-    decode_vmem = (
-        2 * Kw * N  # int8 weight ring
-        + n_scale * (scales.dtype.itemsize if bits == 4 else 4)
-        + Tp * K * 2  # bf16 activations
-        + Tp * N * 4  # f32 output
-    )
-    if Tp <= 256 and decode_vmem <= 12 * 1024 * 1024:
+    if fits_decode_kernel(Tp, K, w):
         return _decode_grouped_quant_matmul(
-            xs, qw, scales, group_sizes, layer=layer, interpret=interpret,
-            max_active=max_active,
+            xs, qw, scales, group_sizes, layer=layer, active=active,
+            starts=starts, interpret=interpret, max_active=max_active,
         )
     if backend != "tpu":
         # interpret-mode caller that fell through the decode-size gate: the
         # stock gmm below has no interpret path on CPU.
         if qw.ndim == 4:
             qw, scales = qw[layer], scales[layer]
-        return _ref_grouped_quant_matmul(xs, qw, scales, group_sizes)
+        return _ref_grouped_quant_matmul(xs, qw, scales, group_sizes,
+                                         starts=starts)
     # Prefill: cast + stock gmm, per-row expert scale. The per-layer slice
     # + cast materialize one expert matrix transiently; prefill is
     # compute-bound so the extra HBM pass is noise.
+    # The gmm contract REQUIRES expert-sorted rows: a caller that built the
+    # unsorted T=1 fast-dispatch layout (explicit starts) must have taken
+    # the decode kernel above — fail loudly rather than compute garbage.
+    assert starts is None, "custom starts layout requires the decode kernel"
     from jax.experimental.pallas.ops.tpu.megablox import gmm
 
     if qw.ndim == 4:

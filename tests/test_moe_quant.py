@@ -427,3 +427,44 @@ def test_deepseek_fused_gate_up_env_parity(monkeypatch):
     fused, _ = qmodel.forward(qparams, kv, mi)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(base),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_deepseek_t1_fast_dispatch_parity(monkeypatch):
+    """MOE_DISPATCH_T1 (sort-free b=1 dispatch) must match the generic
+    argsort/bincount dispatch exactly on a single-token decode batch —
+    both with and without the fused gate+up pair."""
+    from scalellm_tpu.config import QuantArgs
+    from scalellm_tpu.engine.params import ModelInputs
+    from scalellm_tpu.models.deepseek import MLADecoderModel
+    from scalellm_tpu.parallel.config import ParallelConfig
+    from scalellm_tpu.quantization.runtime import quantize_model_params
+
+    dense = MLADecoderModel(_tiny_deepseek_args(False), ParallelConfig())
+    params = dense.init_params(jax.random.PRNGKey(1))
+    qmodel, qparams = quantize_model_params(
+        dense, jax.tree_util.tree_map(np.asarray, params),
+        QuantArgs(quant_method="internal", bits=8, group_size=128),
+    )
+    qparams = jax.tree_util.tree_map(jnp.asarray, qparams)
+    T, page = 1, 4
+    kv = jnp.zeros(dense.kv_cache_shape(8, page), jnp.float32)
+    mi = ModelInputs(
+        token_ids=jnp.asarray([42], jnp.int32),
+        positions=jnp.zeros(T, jnp.int32),
+        token_seg=jnp.zeros(T, jnp.int32),
+        new_kv_slot_ids=jnp.asarray([page], jnp.int32),
+        block_tables=jnp.asarray([[1, 2, 0, 0]], jnp.int32),
+        kv_lens=jnp.asarray([1], jnp.int32),
+        cu_q_lens=jnp.asarray([0, 1], jnp.int32),
+        num_seqs=jnp.asarray([1], jnp.int32),
+        selected_idxes=jnp.asarray([0], jnp.int32),
+        seq_mask=jnp.ones(1, jnp.float32),
+    )
+    for fuse in ("0", "1"):
+        monkeypatch.setenv("MOE_FUSE_GATE_UP", fuse)
+        monkeypatch.setenv("MOE_DISPATCH_T1", "0")
+        base, _ = qmodel.forward(qparams, kv, mi)
+        monkeypatch.setenv("MOE_DISPATCH_T1", "force")
+        fast, _ = qmodel.forward(qparams, kv, mi)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(base),
+                                   rtol=2e-5, atol=2e-5)
